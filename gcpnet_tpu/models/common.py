@@ -1,0 +1,193 @@
+"""Shared model-building blocks for the seven task models.
+
+Every task model follows the reference skeleton (SURVEY.md §2.3):
+``centralize -> localize -> GCPEmbedding -> N interaction layers -> head``.
+The padded-graph masks are derived once per forward and threaded through.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gcpnet_tpu.config.schema import LayerCfg, ModelCfg, ModuleCfg
+from gcpnet_tpu.graph import GraphBatch
+from gcpnet_tpu.nn import (
+    GCPEmbedding,
+    GCPInteractions,
+    GCPInteractions2,
+    GCPLayerNorm,
+    ScalarVector,
+    centralize,
+    localize,
+)
+from gcpnet_tpu.nn.gcp import Dense, make_gcp
+from gcpnet_tpu.ops.segment import segment_mean
+
+Array = jax.Array
+
+LAYER_CLASSES = {
+    "GCPInteractions": GCPInteractions,
+    "GCPInteractions2": GCPInteractions2,
+}
+
+
+def batch_masks(batch: GraphBatch):
+    """(edge_mask numerator, count_mask denominator) per reference semantics:
+    the denominator of masked scalarize/vectorize means counts all real
+    edges (see gcpnet_tpu.nn.frames)."""
+    return batch.valid_edge_mask(), batch.edge_pad_mask
+
+
+def centralize_and_frames(
+    batch: GraphBatch, norm_x_diff: bool = True
+) -> Tuple[Array, Array, Array]:
+    """Returns (centroid [G,3], centered x [N,3], frames f_ij [E,3,3])."""
+    node_mask = batch.valid_node_mask()
+    centroid, centered = centralize(
+        batch.x, batch.graph_id, batch.num_graphs, node_mask=node_mask
+    )
+    edge_mask, _ = batch_masks(batch)
+    frames = localize(
+        centered,
+        batch.senders,
+        batch.receivers,
+        norm_x_diff=norm_x_diff,
+        edge_mask=edge_mask,
+    )
+    return centroid, centered, frames
+
+
+class InvariantPooledHead(nn.Module):
+    """GCPLayerNorm -> invariant-projection GCP -> graph mean-pool -> dense
+    MLP head (reference gcpnet_lba_module.py:88-110,176-184)."""
+
+    node_dims: Tuple[int, int]
+    cfg: ModuleCfg
+    output_dim: int = 1
+    output_scale_factor: int = 2
+    dense_dropout: float = 0.1
+    dense_activation: str = "relu"  # RS uses leakyrelu (gcpnet_rs_module.py)
+
+    @nn.compact
+    def __call__(
+        self,
+        node_rep: ScalarVector,
+        batch: GraphBatch,
+        frames: Array,
+        edge_mask: Optional[Array],
+        count_mask: Optional[Array],
+        deterministic: bool = True,
+    ) -> Array:
+        out = GCPLayerNorm(name="projection_norm")(node_rep)
+        proj = make_gcp(
+            tuple(self.node_dims),
+            (self.node_dims[0], 0),
+            self.cfg,
+            name="invariant_node_projection",
+            nonlinearities=self.cfg.nonlinearities,
+            bottleneck=1,
+            vector_residual=False,
+        )
+        out = proj(
+            out,
+            batch.senders,
+            batch.receivers,
+            frames,
+            node_inputs=True,
+            edge_mask=edge_mask,
+            count_mask=count_mask,
+        )
+        pooled = segment_mean(
+            out, batch.graph_id, batch.num_graphs, mask=batch.valid_node_mask()
+        )
+        from gcpnet_tpu.nn.primitives import get_nonlinearity
+
+        hidden = self.node_dims[0] * self.output_scale_factor
+        y = Dense(hidden, name="dense_0")(pooled)
+        y = get_nonlinearity(self.dense_activation)(y)
+        y = nn.Dropout(self.dense_dropout, deterministic=deterministic)(y)
+        y = Dense(self.output_dim, name="dense_1")(y)
+        if self.output_dim == 1:
+            y = y[..., 0]
+        return y
+
+
+class GCPNetEncoder(nn.Module):
+    """Embedding + a stack of interaction layers (the shared trunk)."""
+
+    model_cfg: ModelCfg
+    module_cfg: ModuleCfg
+    layer_cfg: LayerCfg
+    layer_class: str = "GCPInteractions"
+    num_atom_types: int = 0
+    node_input_dims: Optional[Tuple[int, int]] = None
+    edge_input_dims: Optional[Tuple[int, int]] = None
+    updating_node_positions: bool = False
+    embedding_pre_norm: bool = True
+    embedding_nonlinearities: Optional[Tuple[Optional[str], Optional[str]]] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        frames: Array,
+        node_pos: Optional[Array] = None,
+        deterministic: bool = True,
+    ):
+        mc = self.model_cfg
+        node_dims = (mc.h_hidden_dim, mc.chi_hidden_dim)
+        edge_dims = (mc.e_hidden_dim, mc.xi_hidden_dim)
+        node_in = self.node_input_dims or (mc.h_input_dim, mc.chi_input_dim)
+        edge_in = self.edge_input_dims or (mc.e_input_dim, mc.xi_input_dim)
+
+        edge_mask, count_mask = batch_masks(batch)
+        node_mask = batch.node_mask
+
+        embed = GCPEmbedding(
+            edge_input_dims=edge_in,
+            node_input_dims=node_in,
+            edge_hidden_dims=edge_dims,
+            node_hidden_dims=node_dims,
+            cfg=self.module_cfg,
+            num_atom_types=self.num_atom_types,
+            pre_norm=self.embedding_pre_norm,
+            nonlinearities=self.embedding_nonlinearities,
+            name="gcp_embedding",
+        )
+        node_rep, edge_rep = embed(batch, frames, edge_mask, count_mask)
+
+        layer_cls = LAYER_CLASSES[self.layer_class]
+        for i in range(mc.num_encoder_layers):
+            layer = layer_cls(
+                node_dims=node_dims,
+                edge_dims=edge_dims,
+                cfg=self.module_cfg,
+                layer_cfg=self.layer_cfg,
+                dropout=mc.dropout,
+                updating_node_positions=self.updating_node_positions,
+                name=f"interaction_{i}",
+            )
+            out = layer(
+                node_rep,
+                edge_rep,
+                batch.senders,
+                batch.receivers,
+                frames,
+                node_mask=node_mask,
+                node_pos=node_pos,
+                edge_mask=edge_mask,
+                count_mask=count_mask,
+                deterministic=deterministic,
+            )
+            if self.updating_node_positions:
+                node_rep, node_pos = out
+            else:
+                node_rep = out
+
+        if self.updating_node_positions:
+            return node_rep, edge_rep, node_pos
+        return node_rep, edge_rep

@@ -1,0 +1,425 @@
+"""The Geometry-Complete Perceptron (GCP) module family.
+
+TPU-native re-design of /root/reference/src/models/components/gcpnet.py:30-700
+(GCP, GCP2, GCP3) as flax modules over the ``[..., channel, 3]`` vector
+layout.  All per-entity work (channel-mixing linears, norms, gates) is
+batched over the node/edge axis so XLA tiles it onto the MXU; the only
+cross-entity ops are the masked segment means inside scalarize/vectorize.
+
+Masking: callers pass ``edge_mask`` (numerator) and ``count_mask``
+(denominator) for the frame projections; see gcpnet_tpu.nn.frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gcpnet_tpu.config.schema import ModuleCfg
+from gcpnet_tpu.nn.frames import scalarize, vectorize
+from gcpnet_tpu.nn.primitives import (
+    ScalarVector,
+    get_nonlinearity,
+    is_identity,
+    safe_norm,
+)
+
+Array = jax.Array
+
+# torch nn.Linear-style init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+# kernel and bias, to match the reference's training dynamics.
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    bound = 1.0 / jnp.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Dense(nn.Module):
+    """nn.Dense with torch-style init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", make_torch_bias_init(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class VecDense(nn.Module):
+    """Bias-free channel-mixing linear over vector channels
+    ``[..., din, 3] -> [..., dout, 3]`` (equivariant)."""
+
+    features: int
+    init_gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, v: Array) -> Array:
+        din = v.shape[-2]
+
+        def init(key, shape, dtype=jnp.float32):
+            bound = self.init_gain / jnp.sqrt(shape[0])
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", init, (din, self.features))
+        return jnp.einsum("...dx,dh->...hx", v, kernel)
+
+
+@dataclasses.dataclass(frozen=True)
+class GCPSettings:
+    """Fully-resolved per-module hyperparameters (the product of module_cfg
+    plus the call-site overrides applied by the reference's
+    ``get_GCP_with_custom_cfg``, gcpnet.py:826-835)."""
+
+    scalar_nonlinearity: Optional[str] = "relu"
+    vector_nonlinearity: Optional[str] = None
+    scalar_gate: int = 0
+    vector_gate: bool = True
+    frame_gate: bool = False
+    sigma_frame_gate: bool = False
+    bottleneck: int = 1
+    vector_residual: bool = False
+    vector_frame_residual: bool = False
+    ablate_frame_updates: bool = False
+    ablate_scalars: bool = False
+    ablate_vectors: bool = False
+    enable_e3_equivariance: bool = False
+    sv_dim: int = 3  # scalarization_vectorization_output_dim
+    feedforward_out: bool = False  # GCP3
+    scalar_out_nonlinearity: Optional[str] = "silu"  # GCP3
+    nonlinearity_slope: float = 1e-2
+
+    @classmethod
+    def from_cfg(cls, cfg: ModuleCfg, **overrides) -> "GCPSettings":
+        base = dict(
+            scalar_nonlinearity=cfg.scalar_nonlinearity,
+            vector_nonlinearity=cfg.vector_nonlinearity,
+            scalar_gate=cfg.scalar_gate,
+            vector_gate=cfg.vector_gate,
+            frame_gate=cfg.frame_gate,
+            sigma_frame_gate=cfg.sigma_frame_gate,
+            bottleneck=cfg.bottleneck,
+            vector_residual=cfg.vector_residual,
+            vector_frame_residual=cfg.vector_frame_residual,
+            ablate_frame_updates=cfg.ablate_frame_updates,
+            ablate_scalars=cfg.ablate_scalars,
+            ablate_vectors=cfg.ablate_vectors,
+            enable_e3_equivariance=cfg.enable_e3_equivariance,
+            scalar_out_nonlinearity=cfg.scalar_out_nonlinearity,
+        )
+        if "nonlinearities" in overrides:
+            nl = overrides.pop("nonlinearities")
+            if nl is None:
+                nl = (None, None)
+            base["scalar_nonlinearity"], base["vector_nonlinearity"] = nl
+        base.update(overrides)
+        return cls(**base)
+
+
+def _hidden_vec_dim(vec_in: int, vec_out: int, bottleneck: int) -> int:
+    if bottleneck > 1:
+        if vec_in % bottleneck != 0:
+            raise ValueError(
+                f"vector input dim {vec_in} not divisible by bottleneck {bottleneck}"
+            )
+        return vec_in // bottleneck
+    return max(vec_in, vec_out)
+
+
+class GCP2(nn.Module):
+    """Default GCP variant (LBA/PSR/CPD/NMS/RS) — gcpnet.py:252-468.
+
+    Fuses the frame-derived scalars into a single scalar update:
+    ``scalar_out([s ‖ ‖vector_down(v)‖ ‖ scalarize(vector_down_frames(v))])``;
+    the vector path is ``vector_up`` with frame-/vector-/self-gating.
+    """
+
+    input_dims: Tuple[int, int]
+    output_dims: Tuple[int, int]
+    settings: GCPSettings
+
+    def _apply_scalar_out(self, merged: Array) -> Array:
+        st = self.settings
+        sdim = self.output_dims[0]
+        if st.feedforward_out:
+            act = get_nonlinearity(st.scalar_out_nonlinearity, st.nonlinearity_slope)
+            x = Dense(sdim, name="scalar_out_0")(merged)
+            return Dense(sdim, name="scalar_out_1")(act(x))
+        return Dense(sdim, name="scalar_out")(merged)
+
+    @nn.compact
+    def __call__(
+        self,
+        s_maybe_v,
+        senders: Array,
+        receivers: Array,
+        frames: Array,
+        node_inputs: bool = False,
+        edge_mask: Optional[Array] = None,
+        count_mask: Optional[Array] = None,
+    ):
+        st = self.settings
+        s_in, v_in = self.input_dims
+        s_out, v_out = self.output_dims
+        act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
+        act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
+        num_entities = None
+
+        if v_in:
+            scalar_rep, vector_rep = s_maybe_v
+            if st.ablate_scalars:
+                scalar_rep = jnp.zeros_like(scalar_rep)
+            if st.ablate_vectors:
+                vector_rep = jnp.zeros_like(vector_rep)
+            num_entities = scalar_rep.shape[0]
+
+            hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+            vector_hidden_rep = VecDense(hidden, name="vector_down")(vector_rep)
+            vector_norm = safe_norm(vector_hidden_rep, axis=-1)  # [*, hidden]
+            merged = jnp.concatenate([scalar_rep, vector_norm], axis=-1)
+
+            if not st.ablate_frame_updates:
+                vdf = VecDense(st.sv_dim, name="vector_down_frames")(vector_rep)
+                scalar_hidden_rep = scalarize(
+                    vdf,
+                    senders,
+                    receivers,
+                    frames,
+                    node_inputs=node_inputs,
+                    enable_e3_equivariance=st.enable_e3_equivariance,
+                    num_nodes=num_entities,
+                    edge_mask=edge_mask,
+                    count_mask=count_mask,
+                )
+                merged = jnp.concatenate([merged, scalar_hidden_rep], axis=-1)
+        else:
+            merged = s_maybe_v
+            vector_rep = None
+
+        scalar_rep = self._apply_scalar_out(merged)
+        num_entities = scalar_rep.shape[0]
+
+        if not v_out:
+            if st.ablate_scalars:
+                scalar_rep = jnp.zeros_like(scalar_rep)
+            return act_s(scalar_rep)
+
+        if v_out and not v_in:
+            new_vector = jnp.zeros(
+                (num_entities, v_out, 3), dtype=scalar_rep.dtype
+            )
+        else:
+            v_up = VecDense(v_out, name="vector_up")(vector_hidden_rep)
+            if st.vector_residual:
+                v_up = v_up + vector_rep
+            if not st.ablate_frame_updates and st.frame_gate:
+                gate = Dense(st.sv_dim * 3, name="vector_out_scale_frames")(
+                    act_v(scalar_rep)
+                )
+                gate_vector = vectorize(
+                    gate,
+                    senders,
+                    receivers,
+                    frames,
+                    node_inputs=node_inputs,
+                    num_nodes=num_entities,
+                    edge_mask=edge_mask,
+                    count_mask=count_mask,
+                )
+                gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
+                new_vector = v_up * act_v(
+                    safe_norm(gate_vector_rep, axis=-1, keepdims=True)
+                )
+            elif st.vector_gate:
+                gate = Dense(v_out, name="vector_out_scale")(act_v(scalar_rep))
+                new_vector = v_up * jax.nn.sigmoid(gate)[..., None]
+            elif not is_identity(st.vector_nonlinearity):
+                new_vector = v_up * act_v(safe_norm(v_up, axis=-1, keepdims=True))
+            else:
+                new_vector = v_up
+
+        scalar_rep = act_s(scalar_rep)
+        if st.ablate_scalars:
+            scalar_rep = jnp.zeros_like(scalar_rep)
+        if st.ablate_vectors:
+            new_vector = jnp.zeros_like(new_vector)
+        return ScalarVector(scalar_rep, new_vector)
+
+
+class GCP3(GCP2):
+    """GCP2 variant used by EQ/AR (gcpnet.py:471-700): identical math plus an
+    optional 2-layer ``scalar_out`` MLP (``feedforward_out``) whose inner
+    nonlinearity is ``scalar_out_nonlinearity`` (default silu).  Enabled via
+    ``GCPSettings.feedforward_out``."""
+
+
+class GCP(nn.Module):
+    """Original GCP (v1) — gcpnet.py:30-249.
+
+    Two-stage scalar update: first ``scalar_out([s ‖ ‖vector_down(v)‖])``,
+    vector update with vector-gating, then a second frame-based stage
+    ``scalar_out_frames([s' ‖ scalarize(vector_down_frames(v'))])`` with
+    sigma-frame / frame gating of the vector channels.
+    """
+
+    input_dims: Tuple[int, int]
+    output_dims: Tuple[int, int]
+    settings: GCPSettings
+
+    @nn.compact
+    def __call__(
+        self,
+        s_maybe_v,
+        senders: Array,
+        receivers: Array,
+        frames: Array,
+        node_inputs: bool = False,
+        edge_mask: Optional[Array] = None,
+        count_mask: Optional[Array] = None,
+    ):
+        st = self.settings
+        s_in, v_in = self.input_dims
+        s_out, v_out = self.output_dims
+        act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
+        act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
+
+        if v_in:
+            scalar_rep, vector_rep = s_maybe_v
+            if st.ablate_scalars:
+                scalar_rep = jnp.zeros_like(scalar_rep)
+            if st.ablate_vectors:
+                vector_rep = jnp.zeros_like(vector_rep)
+            hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+            vector_hidden_rep = VecDense(hidden, name="vector_down")(vector_rep)
+            vector_norm = safe_norm(vector_hidden_rep, axis=-1)
+            merged = jnp.concatenate([scalar_rep, vector_norm], axis=-1)
+        else:
+            merged = s_maybe_v
+            if st.ablate_scalars:
+                merged = jnp.zeros_like(merged)
+            vector_rep = None
+
+        scalar_rep = Dense(s_out, name="scalar_out")(merged)
+        num_entities = scalar_rep.shape[0]
+
+        # stage-1 vector update (gcpnet.py:104-121)
+        if v_in and v_out:
+            v_up = VecDense(v_out, name="vector_up")(vector_hidden_rep)
+            if st.vector_residual:
+                v_up = v_up + vector_rep
+            if st.vector_gate:
+                gate = Dense(v_out, name="vector_out_scale")(act_v(scalar_rep))
+                new_vector = v_up * jax.nn.sigmoid(gate)[..., None]
+            elif not is_identity(st.vector_nonlinearity):
+                new_vector = v_up * act_v(safe_norm(v_up, axis=-1, keepdims=True))
+            else:
+                new_vector = v_up
+        else:
+            new_vector = None
+
+        scalar_rep = act_s(scalar_rep)
+        if v_out and not v_in:
+            new_vector = jnp.zeros((num_entities, v_out, 3), dtype=scalar_rep.dtype)
+
+        if st.ablate_frame_updates:
+            if v_out:
+                return ScalarVector(scalar_rep, new_vector)
+            return scalar_rep
+
+        # stage 2: frame-based scalar update (gcpnet.py:214-228)
+        frames_input = new_vector if v_out else vector_hidden_rep
+        vdf = VecDense(st.sv_dim, name="vector_down_frames")(frames_input)
+        scalar_hidden_rep = scalarize(
+            vdf,
+            senders,
+            receivers,
+            frames,
+            node_inputs=node_inputs,
+            enable_e3_equivariance=st.enable_e3_equivariance,
+            num_nodes=num_entities,
+            edge_mask=edge_mask,
+            count_mask=count_mask,
+        )
+        merged = jnp.concatenate([scalar_rep, scalar_hidden_rep], axis=-1)
+        scalar_rep = Dense(s_out, name="scalar_out_frames")(merged)
+
+        if not v_out:
+            if st.ablate_scalars:
+                scalar_rep = jnp.zeros_like(scalar_rep)
+            return act_s(scalar_rep)
+
+        # stage-2 vector update using frames (gcpnet.py:130-165,235-244)
+        if v_in and v_out:
+            v_pre = new_vector
+            if st.sigma_frame_gate:
+                gate = Dense(v_out, name="vector_out_scale_sigma_frames")(
+                    act_v(scalar_rep)
+                )
+                new_vector = v_pre * jax.nn.sigmoid(gate)[..., None]
+            elif st.frame_gate:
+                gate = Dense(st.sv_dim * 3, name="vector_out_scale_frames")(
+                    act_v(scalar_rep)
+                )
+                gate_vector = vectorize(
+                    gate,
+                    senders,
+                    receivers,
+                    frames,
+                    node_inputs=node_inputs,
+                    num_nodes=num_entities,
+                    edge_mask=edge_mask,
+                    count_mask=count_mask,
+                )
+                gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
+                new_vector = v_pre * act_v(
+                    safe_norm(gate_vector_rep, axis=-1, keepdims=True)
+                )
+                if st.vector_frame_residual:
+                    new_vector = new_vector + v_pre
+            elif not is_identity(st.vector_nonlinearity):
+                new_vector = v_pre * act_v(safe_norm(v_pre, axis=-1, keepdims=True))
+
+        scalar_rep = act_s(scalar_rep)
+        if st.ablate_scalars:
+            scalar_rep = jnp.zeros_like(scalar_rep)
+        if st.ablate_vectors:
+            new_vector = jnp.zeros_like(new_vector)
+        return ScalarVector(scalar_rep, new_vector)
+
+
+_GCP_CLASSES = {"GCP": GCP, "GCP2": GCP2, "GCP3": GCP3}
+
+
+def make_gcp(
+    input_dims: Tuple[int, int],
+    output_dims: Tuple[int, int],
+    cfg: ModuleCfg,
+    name: Optional[str] = None,
+    **overrides,
+) -> nn.Module:
+    """Build the configured GCP variant with call-site overrides — the
+    analog of ``get_GCP_with_custom_cfg`` (gcpnet.py:826-835)."""
+    cls = _GCP_CLASSES[cfg.selected_gcp]
+    settings = GCPSettings.from_cfg(cfg, **overrides)
+    return cls(
+        input_dims=tuple(input_dims),
+        output_dims=tuple(output_dims),
+        settings=settings,
+        name=name,
+    )

@@ -1,0 +1,117 @@
+"""Masked segment reductions on statically padded index arrays.
+
+TPU-native replacement for the reference's torch_scatter calls
+(e.g. /root/reference/src/models/components/gcpnet.py:946,
+/root/reference/src/models/components/__init__.py:316-323): on TPU every
+array has a static shape, so variable-size graphs are padded and reductions
+carry explicit masks.  Semantics are matched to ``torch_scatter.scatter``:
+
+- ``reduce="sum"``: masked entries contribute zero.
+- ``reduce="mean"``: sum divided by a per-segment count clamped to >= 1
+  (empty segments produce exactly 0, as torch_scatter does).  The numerator
+  mask and the denominator (count) mask can differ — the reference sometimes
+  zeroes masked rows while still counting them in the denominator
+  (scalarize with a node mask, components/__init__.py:294-323).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _apply_mask(data: Array, mask: Optional[Array]) -> Array:
+    if mask is None:
+        return data
+    mask = mask.astype(data.dtype)
+    return data * mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
+
+
+def segment_sum(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    mask: Optional[Array] = None,
+) -> Array:
+    """Masked sum of ``data`` rows into ``num_segments`` buckets.
+
+    Args:
+      data: ``[E, ...]`` values to reduce.
+      segment_ids: ``[E]`` int32 bucket index per row.  Padded rows may carry
+        any in-range index as long as ``mask`` zeroes them.
+      num_segments: static number of output rows.
+      mask: optional ``[E]`` bool/float; masked-out rows contribute zero.
+    """
+    return jax.ops.segment_sum(
+        _apply_mask(data, mask), segment_ids, num_segments=num_segments
+    )
+
+
+def segment_count(
+    segment_ids: Array,
+    num_segments: int,
+    mask: Optional[Array] = None,
+    dtype=jnp.float32,
+) -> Array:
+    ones = jnp.ones(segment_ids.shape, dtype=dtype)
+    return jax.ops.segment_sum(
+        _apply_mask(ones, mask), segment_ids, num_segments=num_segments
+    )
+
+
+def segment_mean(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    mask: Optional[Array] = None,
+    count_mask: Optional[Array] = None,
+) -> Array:
+    """Masked mean with torch_scatter ``reduce="mean"`` semantics.
+
+    ``mask`` gates the numerator; ``count_mask`` gates the denominator
+    (defaults to ``mask``).  Counts are clamped to >= 1 so empty segments
+    yield 0 rather than NaN.
+    """
+    if count_mask is None:
+        count_mask = mask
+    total = segment_sum(data, segment_ids, num_segments, mask=mask)
+    count = segment_count(segment_ids, num_segments, mask=count_mask, dtype=total.dtype)
+    count = jnp.maximum(count, 1.0)
+    return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
+
+
+def segment_softmax_denominator(
+    logits: Array,
+    segment_ids: Array,
+    num_segments: int,
+    mask: Optional[Array] = None,
+) -> Array:
+    """Numerically stable per-segment softmax normalizer (utility for
+    attention-style aggregations)."""
+    maxes = jax.ops.segment_max(
+        jnp.where(mask if mask is not None else True, logits, -jnp.inf),
+        segment_ids,
+        num_segments=num_segments,
+    )
+    maxes = jnp.where(jnp.isfinite(maxes), maxes, 0.0)
+    shifted = jnp.exp(logits - maxes[segment_ids])
+    denom = segment_sum(shifted, segment_ids, num_segments, mask=mask)
+    return shifted / jnp.maximum(denom[segment_ids], 1e-20)
+
+
+def masked_mean(
+    data: Array, mask: Optional[Array], axis=None, keepdims: bool = False
+) -> Array:
+    """Mean over ``axis`` counting only rows where ``mask`` is set."""
+    if mask is None:
+        return jnp.mean(data, axis=axis, keepdims=keepdims)
+    m = mask.astype(data.dtype)
+    m = m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
+    total = jnp.sum(data * m, axis=axis, keepdims=keepdims)
+    count = jnp.sum(m, axis=axis, keepdims=keepdims)
+    count = jnp.broadcast_to(count, total.shape)
+    return total / jnp.maximum(count, 1.0)

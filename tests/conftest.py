@@ -1,0 +1,39 @@
+"""Test configuration: force CPU with an 8-device virtual mesh so
+multi-chip sharding is exercised without TPU hardware (SURVEY.md §2.8).
+
+Note: this image's sitecustomize registers a remote `axon` TPU backend and
+pins JAX_PLATFORMS=axon before conftest runs, so we flip the platform via
+jax.config (the CPU client is created lazily, after XLA_FLAGS is amended).
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_rotation(rng: np.random.Generator) -> np.ndarray:
+    """Uniform-ish random proper rotation via QR decomposition."""
+    a = rng.normal(size=(3, 3))
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q.astype(np.float64)
