@@ -1,0 +1,127 @@
+"""Training-throughput benchmark (graphs/sec/chip) on the flagship LBA model.
+
+Runs the full jitted data-parallel train step (forward + backward + Adam)
+at reference model scale (8 GCPInteractions x 8-message-GCP stacks, hidden
+100/16/32/4 — configs/model/model_cfg/gcp_model_lba.yaml) over realistic
+ATOM3D-LBA-sized graphs (~450 atoms, ~28 edges/atom) and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against REFERENCE_A100_GRAPHS_PER_SEC, an estimate
+of the PyTorch reference's A100 training throughput for the same model and
+batch shape (the reference publishes no throughput numbers — SURVEY.md §6;
+the estimate assumes ~45ms/step for a 16-graph batch of this size in
+PyTorch+PyG on A100, i.e. ~355 graphs/s).  The BASELINE.json north-star is
+>= 3.0 on this scale.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+REFERENCE_A100_GRAPHS_PER_SEC = 355.0
+
+NODES_PER_GRAPH = 448
+EDGES_PER_GRAPH = 28 * 448
+GRAPHS_PER_BATCH = 16
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gcpnet_tpu.config.schema import LayerCfg, MPCfg, ModelCfg, ModuleCfg
+    from gcpnet_tpu.data.batching import Bucket, collate_shards
+    from gcpnet_tpu.graph import GraphData
+    from gcpnet_tpu.models import GCPNetLBA, graph_regression_loss
+    from gcpnet_tpu.parallel import make_mesh
+    from gcpnet_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+
+    def random_graph():
+        n, e = NODES_PER_GRAPH, EDGES_PER_GRAPH
+        x = (rng.normal(size=(n, 3)) * 8).astype(np.float32)
+        senders = rng.integers(0, n, size=e).astype(np.int32)
+        receivers = rng.integers(0, n, size=e).astype(np.int32)
+        return GraphData(
+            h=rng.integers(0, 9, size=n).astype(np.int32),
+            chi=rng.normal(size=(n, 2, 3)).astype(np.float32),
+            e=rng.normal(size=(e, 16)).astype(np.float32),
+            xi=rng.normal(size=(e, 1, 3)).astype(np.float32),
+            x=x,
+            senders=senders,
+            receivers=receivers,
+            extras={"label": np.float32(rng.normal())},
+        )
+
+    bucket = Bucket(
+        num_nodes=NODES_PER_GRAPH * GRAPHS_PER_BATCH,
+        num_edges=EDGES_PER_GRAPH * GRAPHS_PER_BATCH,
+        num_graphs=GRAPHS_PER_BATCH,
+    )
+    batch = collate_shards(
+        [[random_graph() for _ in range(GRAPHS_PER_BATCH)]],
+        bucket,
+        extra_graph_keys=("label",),
+    )
+
+    model_cfg = ModelCfg(
+        chi_input_dim=2, e_input_dim=16, xi_input_dim=1,
+        h_hidden_dim=100, chi_hidden_dim=16, e_hidden_dim=32, xi_hidden_dim=4,
+        num_encoder_layers=8, dropout=0.1,
+    )
+    model = GCPNetLBA(
+        model_cfg=model_cfg,
+        module_cfg=ModuleCfg(),
+        layer_cfg=LayerCfg(mp_cfg=MPCfg(num_message_layers=8)),
+        num_atom_types=9,
+    )
+
+    mesh = make_mesh(jax.devices()[:1])
+    trainer = Trainer(
+        model,
+        graph_regression_loss,
+        optimizer_cfg={"_target_": "Adam", "lr": 1e-4},
+        mesh=mesh,
+        early_stopping_patience=None,
+    )
+    dev_batch = trainer._put(batch)
+    trainer.init_state(dev_batch)
+    step = trainer._build_train_step()
+    key = jax.random.key(0)
+    one = jnp.float32(1.0)
+
+    state = trainer.state
+    for _ in range(WARMUP_STEPS):
+        state, loss, gnorm = step(state, dev_batch, key, one)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, loss, gnorm = step(state, dev_batch, key, one)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    graphs_per_sec = MEASURE_STEPS * GRAPHS_PER_BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "lba_train_throughput",
+                "value": round(graphs_per_sec, 2),
+                "unit": "graphs/sec/chip",
+                "vs_baseline": round(
+                    graphs_per_sec / REFERENCE_A100_GRAPHS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""NMS datamodule: Newtonian many-body trajectories -> padded graph batches.
+
+Re-design of ``NMSDataset``/``NMSDataModule``
+(/root/reference/src/datamodules/components/nms_dataset.py,
+nms_datamodule.py): data is generated locally by the vectorized simulator
+(gcpnet_tpu.data.nms_sim) with the reference's physics and featurized
+wholesale with numpy: node scalar ``‖v‖``, node vectors ``[v, forward,
+backward]``, edge scalars ``[q_i q_j, RBF16(d)]``, edge vectors unit r_ij,
+over fully-connected graphs; the model learns frame 30 -> frame 40
+positions.
+
+NMS graphs are fixed-size, so batches are exactly rectangular: a batch of
+``B`` graphs has static shapes ``(B*n, B*n*(n-1))`` with no padding waste.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Literal, Optional
+
+import numpy as np
+
+from gcpnet_tpu.data.features import normalize, orientations, rbf
+from gcpnet_tpu.data.nms_sim import Mode, generate_split
+from gcpnet_tpu.graph import GraphBatch
+
+
+def _fc_edges(n: int):
+    """Ordered fully-connected pairs (i != j), reference row-major order."""
+    senders, receivers = [], []
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                senders.append(i)
+                receivers.append(j)
+    return np.asarray(senders, np.int32), np.asarray(receivers, np.int32)
+
+
+class NMSDataModule:
+    """Generates (or loads cached) NMS splits and yields GraphBatch'es."""
+
+    SPLIT_SEEDS = {"train": 42, "valid": 43, "test": 44}
+    SPLIT_SIZES = {"train": 10000, "valid": 2000, "test": 2000}
+
+    def __init__(
+        self,
+        data_root: str = "data/NMS",
+        data_mode: Mode = "small",
+        batch_size: int = 100,
+        frame_0: int = 30,
+        frame_T: int = 40,
+        rbf_edge_dist_cutoff: float = 4.5,
+        num_rbf: int = 16,
+        num_train: Optional[int] = None,
+        num_valid: Optional[int] = None,
+        num_test: Optional[int] = None,
+        num_shards: int = 1,
+    ):
+        # device-sharded batches use shard-local edge indices (see
+        # gcpnet_tpu.data.batching); batch_size must divide num_shards
+        if batch_size % num_shards:
+            raise ValueError("batch_size must be divisible by num_shards")
+        self.num_shards = num_shards
+        self.data_root = data_root
+        self.data_mode = data_mode
+        self.batch_size = batch_size
+        self.frame_0, self.frame_T = frame_0, frame_T
+        self.d_max, self.num_rbf = rbf_edge_dist_cutoff, num_rbf
+        self.sizes = dict(self.SPLIT_SIZES)
+        if num_train:
+            self.sizes["train"] = num_train
+        if num_valid:
+            self.sizes["valid"] = num_valid
+        if num_test:
+            self.sizes["test"] = num_test
+        self.splits = {}
+
+    # --- data preparation -------------------------------------------------
+    def _cache_path(self, split: str) -> str:
+        n = self.sizes[split]
+        return os.path.join(
+            self.data_root, f"nms_{self.data_mode}_{split}_{n}.npz"
+        )
+
+    def prepare_data(self):
+        os.makedirs(self.data_root, exist_ok=True)
+        for split, size in self.sizes.items():
+            path = self._cache_path(split)
+            if os.path.exists(path):
+                continue
+            loc, vel, edges, charges = generate_split(
+                self.data_mode, size, seed=self.SPLIT_SEEDS[split]
+            )
+            np.savez_compressed(
+                path, loc=loc, vel=vel, edges=edges, charges=charges
+            )
+
+    def setup(self):
+        for split in self.sizes:
+            with np.load(self._cache_path(split)) as z:
+                self.splits[split] = {
+                    "loc": z["loc"],
+                    "vel": z["vel"],
+                    "edges": z["edges"],
+                }
+
+    @property
+    def num_nodes_per_graph(self) -> int:
+        return self.splits["train"]["loc"].shape[2]
+
+    # --- featurization ----------------------------------------------------
+    def _featurize(self, split: str, idx: np.ndarray) -> GraphBatch:
+        """Build one rectangular GraphBatch from sample indices."""
+        d = self.splits[split]
+        loc0 = d["loc"][idx, self.frame_0]  # [B, n, 3]
+        locT = d["loc"][idx, self.frame_T]
+        vel0 = d["vel"][idx, self.frame_0]
+        qq = d["edges"][idx]  # [B, n, n]
+
+        B, n, _ = loc0.shape
+        s, r = _fc_edges(n)
+        e_per = s.shape[0]
+
+        # nodes
+        h = np.linalg.norm(vel0, axis=-1, keepdims=True).astype(np.float32)
+        orient = np.stack([orientations(loc0[b]) for b in range(B)])  # [B,n,2,3]
+        chi = np.concatenate([vel0[:, :, None, :], orient], axis=2).astype(
+            np.float32
+        )
+
+        # edges
+        vec = loc0[:, s] - loc0[:, r]  # [B, e, 3]
+        dist = np.linalg.norm(vec, axis=-1)
+        e_rbf = rbf(dist, d_max=self.d_max, d_count=self.num_rbf)
+        qq_e = qq[:, s, r][..., None].astype(np.float32)
+        e_s = np.nan_to_num(
+            np.concatenate([qq_e, e_rbf], axis=-1).astype(np.float32)
+        )
+        e_v = np.nan_to_num(normalize(vec)[:, :, None, :].astype(np.float32))
+
+        # flatten graphs into one batch with shard-local offsets: graph g's
+        # nodes live at (g % graphs_per_shard) * n within its shard, so each
+        # dp shard is self-contained under shard_map
+        gps = B // self.num_shards  # graphs per shard
+        local_graph = (np.arange(B, dtype=np.int32) % gps)
+        offsets = (local_graph * n)[:, None]
+        senders = (s[None, :] + offsets).reshape(-1)
+        receivers = (r[None, :] + offsets).reshape(-1)
+        graph_id = np.repeat(local_graph, n)
+
+        N, E = B * n, B * e_per
+        return GraphBatch(
+            h=h.reshape(N, 1),
+            chi=chi.reshape(N, 3, 3),
+            e=e_s.reshape(E, 1 + self.num_rbf),
+            xi=e_v.reshape(E, 1, 3),
+            x=loc0.reshape(N, 3).astype(np.float32),
+            senders=senders,
+            receivers=receivers,
+            graph_id=graph_id,
+            node_pad_mask=np.ones(N, bool),
+            edge_pad_mask=np.ones(E, bool),
+            graph_pad_mask=np.ones(B, bool),
+            node_mask=None,
+            extras={"label": locT.reshape(N, 3).astype(np.float32)},
+        )
+
+    # --- iteration --------------------------------------------------------
+    def num_batches(self, split: str) -> int:
+        return self.sizes[split] // self.batch_size
+
+    def batches(
+        self, split: str, shuffle: bool = False, seed: int = 0
+    ) -> Iterator[GraphBatch]:
+        size = self.sizes[split]
+        order = np.arange(size)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        bs = self.batch_size
+        for start in range(0, size - bs + 1, bs):
+            yield self._featurize(split, order[start : start + bs])
+
+    def train_batches(self, seed: int = 0):
+        return self.batches("train", shuffle=True, seed=seed)
+
+    def val_batches(self):
+        return self.batches("valid")
+
+    def test_batches(self):
+        return self.batches("test")

@@ -136,6 +136,7 @@ def batch_graphs(
     num_edges: int,
     num_graphs: Optional[int] = None,
     extra_graph_keys: Sequence[str] = (),
+    like: Optional[GraphData] = None,
 ) -> GraphBatch:
     """Concatenate and pad a list of host graphs into one static batch.
 
@@ -143,9 +144,54 @@ def batch_graphs(
     graph 0 but are masked out.  Per-node/per-edge extras are concatenated
     and zero-padded along axis 0; extras named in ``extra_graph_keys`` are
     treated as per-graph and padded to ``num_graphs``.
+
+    ``like`` supplies feature dims when ``graphs`` is empty (an all-padding
+    shard in a multi-device batch).
     """
     if num_graphs is None:
-        num_graphs = len(graphs)
+        num_graphs = max(len(graphs), 1)
+    if not graphs:
+        # an all-padding shard: dims taken from the `like` template
+        if like is None:
+            raise ValueError("empty graph list requires a `like` template")
+
+        def z(arr, n):
+            a = np.asarray(arr)
+            return np.zeros((n,) + a.shape[1:], a.dtype)
+
+        extras = {}
+        for key, v in like.extras.items():
+            if key in extra_graph_keys:
+                # per-graph extras are stacked, so the template value is one
+                # graph's entry
+                extras[key] = np.zeros(
+                    (num_graphs,) + np.asarray(v).shape, np.asarray(v).dtype
+                )
+            else:
+                n_tgt = (
+                    num_edges
+                    if np.asarray(v).shape[0] == like.num_edges
+                    and like.num_edges != like.num_nodes
+                    else num_nodes
+                )
+                extras[key] = z(v, n_tgt)
+        return GraphBatch(
+            h=z(like.h, num_nodes),
+            chi=z(like.chi, num_nodes),
+            e=z(like.e, num_edges),
+            xi=z(like.xi, num_edges),
+            x=np.zeros((num_nodes, 3), np.float32),
+            senders=np.zeros(num_edges, np.int32),
+            receivers=np.zeros(num_edges, np.int32),
+            graph_id=np.zeros(num_nodes, np.int32),
+            node_pad_mask=np.zeros(num_nodes, bool),
+            edge_pad_mask=np.zeros(num_edges, bool),
+            graph_pad_mask=np.zeros(num_graphs, bool),
+            node_mask=np.zeros(num_nodes, bool)
+            if like.node_mask is not None
+            else None,
+            extras=extras,
+        )
     if len(graphs) > num_graphs:
         raise ValueError(f"{len(graphs)} graphs exceed budget {num_graphs}")
     tot_n = sum(g.num_nodes for g in graphs)

@@ -275,8 +275,12 @@ class GCPNetCPD(nn.Module):
         return seq
 
 
-def cpd_loss(log_probs: Array, batch: GraphBatch) -> Tuple[Array, Array]:
-    """Masked cross-entropy over valid residues (CE == NLL of log_probs)."""
+def cpd_loss(output, batch: GraphBatch) -> Tuple[Array, Array]:
+    """Masked cross-entropy over valid residues (CE == NLL of log_probs).
+
+    ``output`` is the model's (logits, log_probs) pair.
+    """
+    _, log_probs = output
     seq = batch.extras["seq"].astype(jnp.int32)
     nll = -jnp.take_along_axis(log_probs, seq[:, None], axis=-1)[:, 0]
     mask = batch.valid_node_mask()

@@ -1,0 +1,340 @@
+"""The training orchestrator.
+
+Replaces the reference's PyTorch-Lightning Trainer + DDP strategy
+(SURVEY.md §1 L4, §2.8) with a jit-compiled functional loop:
+
+- one ``train_step(state, batch, rng)`` compiled per shape bucket, run
+  under ``shard_map`` over a 1-D ``dp`` device mesh — each device consumes
+  its self-contained sub-batch (see gcpnet_tpu.data.batching) and gradients
+  / losses ride a single ``pmean`` over ICI;
+- adaptive gradient clipping from an on-device ring of recent grad norms
+  (the reference's Queue-based 1.5*mean+2*std rule,
+  gcpnet_eq_module.py:556-594);
+- host-side epoch loop: metric collection, best-k orbax checkpointing,
+  early stopping, plateau LR control, CSV/stdout logging.
+
+Failure-handling parity (SURVEY.md §5.3): static shapes make CUDA-OOM
+skips unnecessary; NaN/inf losses skip the optimizer update via a masked
+``where`` (reference gcpnet_ar_module.py:217-219).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gcpnet_tpu.graph import GraphBatch
+from gcpnet_tpu.parallel.mesh import make_mesh, shard_graph_batch
+from gcpnet_tpu.train.checkpoints import CheckpointManager
+from gcpnet_tpu.train.metrics import Collector
+from gcpnet_tpu.train.optim import PlateauController, build_optimizer
+from gcpnet_tpu.train.state import TrainState
+from gcpnet_tpu.utils.pylogger import get_pylogger
+
+log = get_pylogger(__name__)
+
+Array = jax.Array
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        loss_fn: Callable,
+        optimizer_cfg: Optional[Dict[str, Any]] = None,
+        scheduler_cfg: Optional[Dict[str, Any]] = None,
+        max_epochs: int = 1,
+        mesh: Optional[Mesh] = None,
+        adaptive_clip: bool = False,
+        clip_std_multiplier: float = 2.0,
+        checkpoint_dir: Optional[str] = None,
+        monitor: str = "val/loss",
+        monitor_mode: str = "min",
+        early_stopping_patience: Optional[int] = 10,
+        save_top_k: int = 30,
+        seed: int = 42,
+        collect_fn: Optional[Callable] = None,
+        metric_fns: Optional[Dict[str, Callable]] = None,
+        log_dir: Optional[str] = None,
+        log_every_n_steps: int = 50,
+        max_steps_per_epoch: Optional[int] = None,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.optimizer_cfg = optimizer_cfg or {"_target_": "Adam", "lr": 1e-4}
+        self.scheduler_cfg = scheduler_cfg
+        self.max_epochs = max_epochs
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.num_shards = self.mesh.devices.size
+        self.adaptive_clip = adaptive_clip
+        self.clip_std_multiplier = clip_std_multiplier
+        self.monitor = monitor
+        self.monitor_mode = monitor_mode
+        self.early_stopping_patience = early_stopping_patience
+        self.seed = seed
+        self.collect_fn = collect_fn
+        self.metric_fns = metric_fns or {}
+        self.log_every_n_steps = log_every_n_steps
+        self.max_steps_per_epoch = max_steps_per_epoch
+
+        self.tx = build_optimizer(self.optimizer_cfg)
+        self.plateau = None
+        if scheduler_cfg and "plateau" in str(
+            scheduler_cfg.get("_target_", "")
+        ).lower():
+            self.plateau = PlateauController(
+                factor=float(scheduler_cfg.get("factor", 0.1)),
+                patience=int(scheduler_cfg.get("patience", 10)),
+                mode=scheduler_cfg.get("mode", "min"),
+            )
+
+        self.ckpt = None
+        if checkpoint_dir:
+            self.ckpt = CheckpointManager(
+                checkpoint_dir,
+                max_to_keep=save_top_k,
+                monitor=monitor,
+                mode=monitor_mode,
+            )
+        self.log_dir = log_dir
+        self._csv_rows = []
+        self._train_step = None
+        self._eval_step = None
+        self.state: Optional[TrainState] = None
+        self.history: Dict[str, list] = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch: GraphBatch) -> TrainState:
+        rng = jax.random.key(self.seed)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, example_batch, True
+        )
+        params = variables["params"]
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+        )
+        log.info(f"model initialized: {n_params:,} params")
+        self.state = TrainState.create(
+            params, self.tx, adaptive_clip=self.adaptive_clip
+        )
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        tx = self.tx
+        model = self.model
+        loss_fn = self.loss_fn
+        adaptive = self.adaptive_clip
+        k_std = self.clip_std_multiplier
+
+        def local_step(state: TrainState, batch: GraphBatch, rng, lr_scale):
+            shard = jax.lax.axis_index("dp")
+            dropout_rng = jax.random.fold_in(jax.random.fold_in(rng, shard), state.step)
+
+            def loss_wrapped(params):
+                out = model.apply(
+                    {"params": params},
+                    batch,
+                    False,
+                    rngs={"dropout": dropout_rng},
+                )
+                loss, _ = loss_fn(out, batch)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_wrapped)(state.params)
+            loss = jax.lax.pmean(loss, "dp")
+            grads = jax.lax.pmean(grads, "dp")
+
+            gnorm = optax.global_norm(grads)
+            ring = state.grad_norms
+            if adaptive and ring is not None:
+                thr = ring.clip_threshold(k_std)
+                scale = jnp.minimum(1.0, thr / jnp.maximum(gnorm, 1e-12))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+                ring = ring.push(jnp.minimum(gnorm, thr))
+
+            # NaN/inf-loss guard: skip the update entirely
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, 0.0), grads
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            updates = jax.tree_util.tree_map(
+                lambda u: u * lr_scale, updates
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                grad_norms=ring,
+            )
+            return new_state, loss, gnorm
+
+        mapped = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P("dp"), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        model = self.model
+        loss_fn = self.loss_fn
+
+        def local_eval(state: TrainState, batch: GraphBatch):
+            out = model.apply({"params": state.params}, batch, True)
+            loss, _ = loss_fn(out, batch)
+            loss = jax.lax.pmean(loss, "dp")
+            return loss, out
+
+        mapped = shard_map(
+            local_eval,
+            mesh=self.mesh,
+            in_specs=(P(), P("dp")),
+            out_specs=(P(), P("dp")),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    # ------------------------------------------------------------------
+    def _put(self, batch: GraphBatch) -> GraphBatch:
+        return shard_graph_batch(batch, self.mesh)
+
+    def train_epoch(self, batches: Iterable[GraphBatch], epoch: int) -> Dict:
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        rng = jax.random.key(self.seed + 17)
+        lr_scale = jnp.asarray(
+            self.plateau.scale if self.plateau else 1.0, jnp.float32
+        )
+        losses = []
+        t0 = time.time()
+        n = 0
+        for i, batch in enumerate(batches):
+            if (
+                self.max_steps_per_epoch is not None
+                and i >= self.max_steps_per_epoch
+            ):
+                break
+            batch = self._put(batch)
+            self.state, loss, gnorm = self._train_step(
+                self.state, batch, rng, lr_scale
+            )
+            n += 1
+            if i % self.log_every_n_steps == 0:
+                losses.append(float(loss))
+        dt = time.time() - t0
+        metrics = {
+            "train/loss": float(np.mean(losses)) if losses else float("nan"),
+            "train/steps_per_sec": n / max(dt, 1e-9),
+        }
+        return metrics
+
+    def eval_epoch(
+        self, batches: Iterable[GraphBatch], prefix: str = "val"
+    ) -> Dict:
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        losses = []
+        collector = Collector() if self.collect_fn else None
+        for batch in batches:
+            dev_batch = self._put(batch)
+            loss, out = self._eval_step(self.state, dev_batch)
+            losses.append(float(loss))
+            if collector is not None:
+                self.collect_fn(collector, jax.device_get(out), batch)
+        metrics = {
+            f"{prefix}/loss": float(np.mean(losses)) if losses else float("nan")
+        }
+        if collector is not None and self.metric_fns:
+            p, l, g = collector.cat()
+            for name, fn in self.metric_fns.items():
+                try:
+                    if name == "grouped":
+                        for k, v in fn(p, l, g).items():
+                            metrics[f"{prefix}/{k}"] = v
+                    else:
+                        metrics[f"{prefix}/{name}"] = fn(p, l)
+                except Exception as exc:  # metric failure must not kill training
+                    log.warning(f"metric {name} failed: {exc}")
+        return metrics
+
+    # ------------------------------------------------------------------
+    def fit(self, datamodule, resume: bool = False) -> Dict:
+        if self.state is None:
+            example = next(iter(datamodule.train_batches(seed=0)))
+            self.init_state(self._put(example))
+        if resume and self.ckpt is not None:
+            restored = self.ckpt.restore_last(self.state)
+            if restored is not None:
+                self.state = restored
+                log.info(f"resumed from step {int(self.state.step)}")
+
+        best = None
+        bad_epochs = 0
+        final_metrics: Dict = {}
+        for epoch in range(self.max_epochs):
+            tm = self.train_epoch(datamodule.train_batches(seed=epoch), epoch)
+            vm = self.eval_epoch(datamodule.val_batches(), prefix="val")
+            metrics = {**tm, **vm, "epoch": epoch}
+            self._log_metrics(metrics)
+            final_metrics = metrics
+
+            monitored = metrics.get(self.monitor)
+            if monitored is not None and np.isfinite(monitored):
+                if self.ckpt is not None:
+                    self.ckpt.save(int(self.state.step), self.state, metrics)
+                if self.plateau is not None:
+                    self.plateau.update(monitored)
+                improved = best is None or (
+                    monitored < best
+                    if self.monitor_mode == "min"
+                    else monitored > best
+                )
+                if improved:
+                    best = monitored
+                    bad_epochs = 0
+                else:
+                    bad_epochs += 1
+                    if (
+                        self.early_stopping_patience is not None
+                        and bad_epochs > self.early_stopping_patience
+                    ):
+                        log.info(f"early stopping at epoch {epoch}")
+                        break
+        return final_metrics
+
+    def test(self, datamodule) -> Dict:
+        metrics = self.eval_epoch(datamodule.test_batches(), prefix="test")
+        self._log_metrics(metrics)
+        return metrics
+
+    def _log_metrics(self, metrics: Dict):
+        msg = " | ".join(
+            f"{k}={v:.5f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in sorted(metrics.items())
+        )
+        log.info(msg)
+        for k, v in metrics.items():
+            self.history.setdefault(k, []).append(v)
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)
+            path = os.path.join(self.log_dir, "metrics.csv")
+            write_header = not os.path.exists(path)
+            with open(path, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=sorted(metrics.keys()))
+                if write_header:
+                    writer.writeheader()
+                writer.writerow(metrics)
