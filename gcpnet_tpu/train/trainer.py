@@ -67,7 +67,15 @@ class Trainer:
         log_dir: Optional[str] = None,
         log_every_n_steps: int = 50,
         max_steps_per_epoch: Optional[int] = None,
+        min_epochs: int = 0,
+        check_val_every_n_epoch: int = 1,
+        loggers: Optional[list] = None,
+        profiler_trace_dir: Optional[str] = None,
     ):
+        self.min_epochs = min_epochs
+        self.check_val_every_n_epoch = max(1, check_val_every_n_epoch)
+        self.loggers = loggers or []
+        self.profiler_trace_dir = profiler_trace_dir
         self.model = model
         self.loss_fn = loss_fn
         self.optimizer_cfg = optimizer_cfg or {"_target_": "Adam", "lr": 1e-4}
@@ -282,38 +290,53 @@ class Trainer:
                 self.state = restored
                 log.info(f"resumed from step {int(self.state.step)}")
 
+        if self.profiler_trace_dir:
+            jax.profiler.start_trace(self.profiler_trace_dir)
+
         best = None
         bad_epochs = 0
         final_metrics: Dict = {}
-        for epoch in range(self.max_epochs):
-            tm = self.train_epoch(datamodule.train_batches(seed=epoch), epoch)
-            vm = self.eval_epoch(datamodule.val_batches(), prefix="val")
-            metrics = {**tm, **vm, "epoch": epoch}
-            self._log_metrics(metrics)
-            final_metrics = metrics
-
-            monitored = metrics.get(self.monitor)
-            if monitored is not None and np.isfinite(monitored):
-                if self.ckpt is not None:
-                    self.ckpt.save(int(self.state.step), self.state, metrics)
-                if self.plateau is not None:
-                    self.plateau.update(monitored)
-                improved = best is None or (
-                    monitored < best
-                    if self.monitor_mode == "min"
-                    else monitored > best
+        try:
+            for epoch in range(self.max_epochs):
+                tm = self.train_epoch(
+                    datamodule.train_batches(seed=epoch), epoch
                 )
-                if improved:
-                    best = monitored
-                    bad_epochs = 0
-                else:
-                    bad_epochs += 1
-                    if (
-                        self.early_stopping_patience is not None
-                        and bad_epochs > self.early_stopping_patience
-                    ):
-                        log.info(f"early stopping at epoch {epoch}")
-                        break
+                metrics = {**tm, "epoch": epoch}
+                if epoch % self.check_val_every_n_epoch == 0:
+                    metrics.update(
+                        self.eval_epoch(datamodule.val_batches(), prefix="val")
+                    )
+                self._log_metrics(metrics)
+                final_metrics = metrics
+
+                monitored = metrics.get(self.monitor)
+                if monitored is not None and np.isfinite(monitored):
+                    if self.ckpt is not None:
+                        self.ckpt.save(
+                            int(self.state.step), self.state, metrics
+                        )
+                    if self.plateau is not None:
+                        self.plateau.update(monitored)
+                    improved = best is None or (
+                        monitored < best
+                        if self.monitor_mode == "min"
+                        else monitored > best
+                    )
+                    if improved:
+                        best = monitored
+                        bad_epochs = 0
+                    else:
+                        bad_epochs += 1
+                        if (
+                            self.early_stopping_patience is not None
+                            and epoch >= self.min_epochs
+                            and bad_epochs > self.early_stopping_patience
+                        ):
+                            log.info(f"early stopping at epoch {epoch}")
+                            break
+        finally:
+            if self.profiler_trace_dir:
+                jax.profiler.stop_trace()
         return final_metrics
 
     def test(self, datamodule) -> Dict:
@@ -329,6 +352,12 @@ class Trainer:
         log.info(msg)
         for k, v in metrics.items():
             self.history.setdefault(k, []).append(v)
+        step = int(self.state.step) if self.state is not None else None
+        for lg in self.loggers:
+            try:
+                lg.log_metrics(metrics, step=step)
+            except Exception as exc:
+                log.warning(f"logger failed: {exc}")
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
             path = os.path.join(self.log_dir, "metrics.csv")

@@ -24,11 +24,12 @@ def get_pylogger(name: str = __name__) -> logging.Logger:
     logger = logging.getLogger(name)
     if not any(isinstance(f, _RankZeroFilter) for f in logger.filters):
         logger.addFilter(_RankZeroFilter())
-    if not logger.handlers and not logging.getLogger().handlers:
+    if not logger.handlers:
         handler = logging.StreamHandler()
         handler.setFormatter(
             logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s")
         )
         logger.addHandler(handler)
         logger.setLevel(logging.INFO)
+        logger.propagate = False
     return logger
