@@ -277,7 +277,10 @@ def compose(
         sub = _compose_file(
             config_dir, os.path.relpath(opath, config_dir), group, {}
         )
-        cfg[group.split("/")[-1]] = sub
+        if _is_global_package(opath):
+            cfg = _deep_merge(cfg, sub)
+        else:
+            cfg[group.split("/")[-1]] = sub
 
     if exp_cfg:
         cfg = _deep_merge(cfg, exp_cfg)

@@ -94,6 +94,12 @@ def hybrid_knn_edges(
     (ar_dataset.py:157-194; senders=центр i, receivers=j per reference's
     (src=i, dst=j) convention)."""
     n = coords.shape[0]
+    try:
+        from gcpnet_tpu.data.native import hybrid_knn_graph_native
+
+        return hybrid_knn_graph_native(coords.astype(np.float32), k_min, k_max)
+    except Exception:
+        pass
     d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
     np.fill_diagonal(d, np.inf)
     k = min(k_max, n - 1)

@@ -121,9 +121,14 @@ class NMSDataModule:
         s, r = _fc_edges(n)
         e_per = s.shape[0]
 
-        # nodes
+        # nodes (orientations vectorized across the batch)
         h = np.linalg.norm(vel0, axis=-1, keepdims=True).astype(np.float32)
-        orient = np.stack([orientations(loc0[b]) for b in range(B)])  # [B,n,2,3]
+        fwd = normalize(loc0[:, 1:] - loc0[:, :-1])
+        bwd = normalize(loc0[:, :-1] - loc0[:, 1:])
+        zeros = np.zeros((B, 1, 3), np.float32)
+        fwd = np.concatenate([fwd, zeros], axis=1)
+        bwd = np.concatenate([zeros, bwd], axis=1)
+        orient = np.stack([fwd, bwd], axis=2)  # [B, n, 2, 3]
         chi = np.concatenate([vel0[:, :, None, :], orient], axis=2).astype(
             np.float32
         )

@@ -44,6 +44,18 @@ def knn_graph(
     n = x.shape[0]
     if valid is None:
         valid = np.ones(n, dtype=bool)
+    try:
+        from gcpnet_tpu.data.native import knn_graph_native
+
+        finite = np.where(
+            valid[:, None] & np.isfinite(x).all(-1, keepdims=True), x, 0.0
+        )
+        return knn_graph_native(
+            finite.astype(np.float32), k,
+            valid=valid & np.isfinite(x).all(-1),
+        )
+    except Exception:
+        pass
     with np.errstate(invalid="ignore"):
         d2 = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
     d2[~np.isfinite(d2)] = np.inf

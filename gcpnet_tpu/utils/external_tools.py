@@ -161,10 +161,11 @@ def calculate_molprobity_metrics(
 def amber_relax(pdb_path: str, output_path: str, **kwargs) -> bool:
     """AMBER relaxation wrapper (reference src/models/__init__.py:239-265).
     Requires OpenMM; returns False (skipped) when unavailable."""
+    from gcpnet_tpu.utils.amber.relax import AmberRelaxation
+
+    relaxer = AmberRelaxation(**kwargs)
     try:
-        from gcpnet_tpu.utils.amber.relax import AmberRelaxation
+        return relaxer.relax_pdb(pdb_path, output_path)
     except ImportError:
         log.warning("OpenMM not available — AMBER relax skipped")
         return False
-    relaxer = AmberRelaxation(**kwargs)
-    return relaxer.relax_pdb(pdb_path, output_path)

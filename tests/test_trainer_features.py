@@ -1,0 +1,123 @@
+"""Trainer subsystem tests: grad-norm ring / adaptive clipping, plateau
+controller, optimizer builders, checkpoint save/restore round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gcpnet_tpu.train.optim import PlateauController, build_optimizer
+from gcpnet_tpu.train.state import GradNormRing, TrainState
+
+
+class TestGradNormRing:
+    def test_empty_ring_is_unclipped(self):
+        ring = GradNormRing.create(8)
+        assert float(ring.clip_threshold()) == np.inf
+
+    def test_threshold_formula(self):
+        ring = GradNormRing.create(8)
+        for v in (1.0, 2.0, 3.0):
+            ring = ring.push(jnp.float32(v))
+        vals = np.array([1.0, 2.0, 3.0])
+        expected = 1.5 * vals.mean() + 2.0 * vals.std()
+        assert float(ring.clip_threshold()) == pytest.approx(expected, rel=1e-5)
+
+    def test_ring_wraps(self):
+        ring = GradNormRing.create(4)
+        for v in range(10):
+            ring = ring.push(jnp.float32(v))
+        assert int(ring.count) == 4
+        # buffer holds the last 4 values (6, 7, 8, 9) in some order
+        assert sorted(np.asarray(ring.buffer).tolist()) == [6, 7, 8, 9]
+
+
+class TestPlateau:
+    def test_reduces_after_patience(self):
+        pc = PlateauController(factor=0.1, patience=2)
+        scales = [pc.update(1.0) for _ in range(5)]
+        # epoch 0 sets best; epochs 1-2 are bad; epoch 3 triggers reduction
+        assert scales[0] == 1.0 and scales[3] == pytest.approx(0.1)
+
+    def test_improvement_resets(self):
+        pc = PlateauController(factor=0.5, patience=1)
+        pc.update(1.0)
+        pc.update(0.9)
+        pc.update(1.5)
+        assert pc.update(0.5) == 1.0  # improved before patience ran out
+
+
+class TestOptim:
+    def test_adam_builder(self):
+        tx = build_optimizer({"_target_": "torch.optim.Adam", "lr": 1e-3})
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+
+    def test_accumulation_wraps_multistep(self):
+        tx = build_optimizer(
+            {"_target_": "Adam", "lr": 1e-3, "accumulate_grad_batches": 4}
+        )
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        # first 3 updates should be zero (accumulating)
+        for i in range(3):
+            updates, state = tx.update({"w": jnp.ones(3)}, state, params)
+            np.testing.assert_allclose(np.asarray(updates["w"]), 0.0)
+        updates, state = tx.update({"w": jnp.ones(3)}, state, params)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
+
+    def test_steplr_schedule(self):
+        from gcpnet_tpu.train.optim import build_schedule
+
+        sched = build_schedule(
+            {"_target_": "StepLR", "step_size": 10, "gamma": 0.5}, 1e-3
+        )
+        assert sched(0) == pytest.approx(1e-3)
+        assert sched(10) == pytest.approx(5e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gcpnet_tpu.train.checkpoints import CheckpointManager
+
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state = TrainState.create(params, tx)
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=3)
+    mgr.save(1, state, {"val/loss": 0.5})
+    state2 = state.replace(
+        params={"w": jnp.full(4, 9.0)}, step=jnp.int32(2)
+    )
+    mgr.save(2, state2, {"val/loss": 0.9})
+
+    template = TrainState.create(params, tx)
+    best = mgr.restore_best(template)
+    np.testing.assert_allclose(np.asarray(best.params["w"]), np.arange(4))
+    last = mgr.restore_last(template)
+    np.testing.assert_allclose(np.asarray(last.params["w"]), 9.0)
+    mgr.close()
+
+
+def test_sweep_space_parsing():
+    from gcpnet_tpu.utils.sweeps import parse_space, run_search
+
+    space = {
+        "lr": "interval(1e-5, 1e-3)",
+        "dropout": "choice(0.0, 0.1, 0.2)",
+    }
+    parsed = parse_space(space)
+    assert parsed["lr"][0] == "interval"
+    assert parsed["dropout"][1] == [0.0, 0.1, 0.2]
+
+    calls = []
+
+    def objective(p):
+        calls.append(p)
+        return p["lr"]
+
+    best, value, trials = run_search(objective, space, n_trials=5, seed=0)
+    assert len(trials) == 5
+    assert all(1e-5 <= t["params"]["lr"] <= 1e-3 for t in trials)
+    assert value == min(t["value"] for t in trials)

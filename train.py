@@ -156,6 +156,30 @@ def main(argv=None):
         argv.remove("--multirun")
         multirun = True
 
+    # hparams_search sweep: `python train.py -m hparams_search=lba_optuna`
+    hp_sel = [ov for ov in argv if ov.startswith("hparams_search=")]
+    if multirun and hp_sel:
+        cfg = compose(CONFIG_DIR, "train.yaml", argv)
+        hs = cfg.get("hparams_search") or {}
+        from gcpnet_tpu.utils.sweeps import run_search
+
+        def objective(params):
+            run_overrides = [ov for ov in argv if not ov.startswith("hparams_search=")]
+            run_overrides += [f"{k}={v}" for k, v in params.items()]
+            run_cfg = compose(CONFIG_DIR, "train.yaml", run_overrides)
+            metrics, _ = train(run_cfg)
+            return metrics.get(cfg.get("optimized_metric", "val/loss"))
+
+        best_params, best_value, _ = run_search(
+            objective,
+            hs.get("params", {}),
+            n_trials=int(hs.get("n_trials", 25)),
+            direction=hs.get("direction", "minimize"),
+            seed=int(hs.get("sampler_seed", 1234)),
+        )
+        log.info(f"best: {best_params} -> {best_value}")
+        return {"best_params": best_params, "best_value": best_value}
+
     if multirun:
         # expand comma-separated sweeps over the cartesian product
         import itertools
