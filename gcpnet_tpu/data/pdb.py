@@ -102,18 +102,21 @@ def parse_pdb(
     """Parse ATOM records from a PDB file (first model by default)."""
     opener = gzip.open if path.endswith(".gz") else open
     atoms: List[AtomRecord] = []
-    current_model = 1
+    # model selection is by ordinal (1 = first MODEL record encountered),
+    # since PDBs in the wild number models from 0 or 1
+    model_ordinal = 1
     with opener(path, "rt") as f:
         for i, line in enumerate(f):
             if line.startswith("MODEL"):
-                try:
-                    current_model = int(line.split()[1])
-                except (ValueError, IndexError):
-                    current_model += 1
+                if atoms:  # new model after we already collected the target
+                    break
                 continue
-            if line.startswith("ENDMDL") and current_model >= model:
-                break
-            if current_model != model:
+            if line.startswith("ENDMDL"):
+                if model_ordinal >= model and atoms:
+                    break
+                model_ordinal += 1
+                continue
+            if model_ordinal != model:
                 continue
             if not line.startswith("ATOM"):
                 continue

@@ -45,6 +45,16 @@ log = get_pylogger(__name__)
 Array = jax.Array
 
 
+def _to_bf16(tree):
+    """Cast float arrays to bfloat16 (ints/bools untouched)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
 class Trainer:
     def __init__(
         self,
@@ -71,11 +81,19 @@ class Trainer:
         check_val_every_n_epoch: int = 1,
         loggers: Optional[list] = None,
         profiler_trace_dir: Optional[str] = None,
+        precision: int = 32,
+        scan_chunk_size: int = 1,
     ):
+        self.scan_chunk_size = max(1, int(scan_chunk_size))
+        self._train_scan = None
         self.min_epochs = min_epochs
         self.check_val_every_n_epoch = max(1, check_val_every_n_epoch)
         self.loggers = loggers or []
         self.profiler_trace_dir = profiler_trace_dir
+        # bf16 compute policy (native on TPU): params stay fp32 masters,
+        # compute runs in bfloat16, loss/update in fp32 (the analog of the
+        # reference's `precision: 16` trainer flag, SURVEY.md §2.8)
+        self.precision = int(precision)
         self.model = model
         self.loss_fn = loss_fn
         self.optimizer_cfg = optimizer_cfg or {"_target_": "Adam", "lr": 1e-4}
@@ -143,17 +161,28 @@ class Trainer:
         loss_fn = self.loss_fn
         adaptive = self.adaptive_clip
         k_std = self.clip_std_multiplier
+        half = self.precision in (16, "16", "bf16")
 
         def local_step(state: TrainState, batch: GraphBatch, rng, lr_scale):
             shard = jax.lax.axis_index("dp")
             dropout_rng = jax.random.fold_in(jax.random.fold_in(rng, shard), state.step)
 
             def loss_wrapped(params):
+                apply_params, apply_batch = params, batch
+                if half:
+                    apply_params = _to_bf16(params)
+                    apply_batch = _to_bf16(batch)
                 out = model.apply(
-                    {"params": params},
-                    batch,
+                    {"params": apply_params},
+                    apply_batch,
                     False,
                     rngs={"dropout": dropout_rng},
+                )
+                out = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32)
+                    if a.dtype == jnp.bfloat16
+                    else a,
+                    out,
                 )
                 loss, _ = loss_fn(out, batch)
                 return loss
@@ -195,6 +224,34 @@ class Trainer:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
+        self._local_step = local_step
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    def _build_train_scan(self):
+        """One jitted dispatch for a whole stack of same-shape batches:
+        lax.scan over the leading stack axis inside shard_map.  Amortizes
+        host->device dispatch latency (dominant for small graphs, and for
+        remote-tunneled chips)."""
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        local_step = self._local_step
+
+        def local_scan(state: TrainState, stacked: GraphBatch, rng, lr_scale):
+            def body(carry, batch):
+                st, = carry
+                st, loss, gnorm = local_step(st, batch, rng, lr_scale)
+                return (st,), (loss, gnorm)
+
+            (state,), (losses, gnorms) = jax.lax.scan(body, (state,), stacked)
+            return state, jnp.mean(losses), jnp.mean(gnorms)
+
+        mapped = shard_map(
+            local_scan,
+            mesh=self.mesh,
+            in_specs=(P(), P(None, "dp"), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
         return jax.jit(mapped, donate_argnums=(0,))
 
     def _build_eval_step(self):
@@ -223,6 +280,8 @@ class Trainer:
     def train_epoch(self, batches: Iterable[GraphBatch], epoch: int) -> Dict:
         if self._train_step is None:
             self._train_step = self._build_train_step()
+        if self.scan_chunk_size > 1 and self._train_scan is None:
+            self._train_scan = self._build_train_scan()
         rng = jax.random.key(self.seed + 17)
         lr_scale = jnp.asarray(
             self.plateau.scale if self.plateau else 1.0, jnp.float32
@@ -230,25 +289,69 @@ class Trainer:
         losses = []
         t0 = time.time()
         n = 0
+        chunk: list = []
+
+        def flush_chunk():
+            nonlocal n
+            if not chunk:
+                return
+            if len(chunk) == self.scan_chunk_size:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *chunk
+                )
+                stacked = self._put_stacked(stacked)
+                self.state, loss, gnorm = self._train_scan(
+                    self.state, stacked, rng, lr_scale
+                )
+                losses.append(float(loss))
+            else:
+                for b in chunk:
+                    self.state, loss, gnorm = self._train_step(
+                        self.state, self._put(b), rng, lr_scale
+                    )
+                losses.append(float(loss))
+            n += len(chunk)
+            chunk.clear()
+
         for i, batch in enumerate(batches):
             if (
                 self.max_steps_per_epoch is not None
                 and i >= self.max_steps_per_epoch
             ):
                 break
-            batch = self._put(batch)
-            self.state, loss, gnorm = self._train_step(
-                self.state, batch, rng, lr_scale
-            )
-            n += 1
-            if i % self.log_every_n_steps == 0:
-                losses.append(float(loss))
+            if self.scan_chunk_size > 1:
+                chunk.append(batch)
+                if len(chunk) == self.scan_chunk_size:
+                    flush_chunk()
+            else:
+                batch = self._put(batch)
+                self.state, loss, gnorm = self._train_step(
+                    self.state, batch, rng, lr_scale
+                )
+                n += 1
+                if i % self.log_every_n_steps == 0:
+                    losses.append(float(loss))
+        flush_chunk()
         dt = time.time() - t0
         metrics = {
             "train/loss": float(np.mean(losses)) if losses else float("nan"),
             "train/steps_per_sec": n / max(dt, 1e-9),
         }
         return metrics
+
+    def _put_stacked(self, stacked: GraphBatch) -> GraphBatch:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        shard = NamedSharding(self.mesh, PartitionSpec(None, "dp"))
+        repl = NamedSharding(self.mesh, PartitionSpec())
+
+        def put(x):
+            arr = jnp.asarray(x)
+            if arr.ndim <= 1:
+                return jax.device_put(arr, repl)
+            return jax.device_put(arr, shard)
+
+        return jax.tree_util.tree_map(put, stacked)
 
     def eval_epoch(
         self, batches: Iterable[GraphBatch], prefix: str = "val"

@@ -102,6 +102,8 @@ def build_trainer(cfg, model, loss_fn, model_name, mesh):
         profiler_trace_dir=trainer_cfg.get("profiler_trace_dir")
         if trainer_cfg.get("profiler")
         else None,
+        precision=int(trainer_cfg.get("precision", 32) or 32),
+        scan_chunk_size=int(trainer_cfg.get("scan_chunk_size", 1) or 1),
     )
     return trainer
 
