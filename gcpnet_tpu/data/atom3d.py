@@ -285,6 +285,7 @@ class ATOM3DDataModule:
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
             extra_graph_keys=("label", "target_id"),
+            sort_edges=True,
         )
 
     def train_batches(self, seed: int = 0):

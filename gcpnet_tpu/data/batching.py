@@ -81,11 +81,43 @@ def make_bucket(
     )
 
 
+def sort_edges_by_receiver(batch: GraphBatch) -> GraphBatch:
+    """Reorder one shard's edges so real edges are sorted by receiver (pad
+    edges last) and attach [N+1] row splits, enabling the Pallas MXU
+    segment-sum (gcpnet_tpu.ops.pallas_segment).  Host-side numpy."""
+    receivers = np.asarray(batch.receivers)
+    pad = ~np.asarray(batch.edge_pad_mask)
+    # stable sort: (pad, receiver) so padding edges land at the tail
+    order = np.lexsort((np.arange(receivers.shape[0]), receivers + pad * (batch.num_nodes + 1)))
+    real = int((~pad).sum())
+    sorted_recv = receivers[order][:real]
+    counts = np.bincount(sorted_recv, minlength=batch.num_nodes)
+    splits = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+    def reorder(arr):
+        return None if arr is None else np.asarray(arr)[order]
+
+    extras = {
+        k: (np.asarray(v)[order] if np.asarray(v).shape[:1] == receivers.shape else v)
+        for k, v in batch.extras.items()
+    }
+    return batch.replace(
+        e=reorder(batch.e),
+        xi=reorder(batch.xi),
+        senders=reorder(batch.senders),
+        receivers=reorder(batch.receivers),
+        edge_pad_mask=reorder(batch.edge_pad_mask),
+        edge_row_splits=splits,
+        extras=extras,
+    )
+
+
 def collate_shards(
     shard_graphs: Sequence[Sequence[GraphData]],
     bucket: Bucket,
     extra_graph_keys: Sequence[str] = (),
     like: Optional[GraphData] = None,
+    sort_edges: bool = False,
 ) -> GraphBatch:
     """Build a device-shardable batch: one padded sub-batch per shard (with
     shard-local indices), concatenated along axis 0.
@@ -109,6 +141,8 @@ def collate_shards(
         )
         for graphs in shard_graphs
     ]
+    if sort_edges:
+        shards = [sort_edges_by_receiver(s) for s in shards]
     if len(shards) == 1:
         return shards[0]
     first = shards[0]
@@ -132,6 +166,7 @@ def batches_from_dataset(
     shuffle_seed: Optional[int] = None,
     drop_last: bool = True,
     extra_graph_keys: Sequence[str] = (),
+    sort_edges: bool = False,
 ) -> Iterator[GraphBatch]:
     """Pack a dataset of host graphs into device-sharded padded batches.
 
@@ -160,7 +195,9 @@ def batches_from_dataset(
             shards.append(shard)
             shard, n_used, e_used = [], 0, 0
             if len(shards) == num_shards:
-                yield collate_shards(shards, bucket, extra_graph_keys)
+                yield collate_shards(
+                    shards, bucket, extra_graph_keys, sort_edges=sort_edges
+                )
                 shards = []
         shard.append(g)
         n_used += g.num_nodes
@@ -170,6 +207,6 @@ def batches_from_dataset(
     if shards and not drop_last:
         while len(shards) < num_shards:
             shards.append([])
-        yield collate_shards(shards, bucket, extra_graph_keys)
+        yield collate_shards(shards, bucket, extra_graph_keys, sort_edges=sort_edges)
     elif len(shards) == num_shards:
-        yield collate_shards(shards, bucket, extra_graph_keys)
+        yield collate_shards(shards, bucket, extra_graph_keys, sort_edges=sort_edges)

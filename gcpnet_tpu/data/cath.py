@@ -169,6 +169,7 @@ class CATHDataModule:
             num_shards=self.num_shards,
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
+            sort_edges=True,
         )
 
     def train_batches(self, seed: int = 0):

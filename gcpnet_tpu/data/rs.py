@@ -390,6 +390,7 @@ class RSDataModule:
             num_shards=self.num_shards,
             drop_last=paired,
             extra_graph_keys=("label",),
+            sort_edges=True,
         )
 
     def train_batches(self, seed: int = 0):

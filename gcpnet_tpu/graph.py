@@ -61,6 +61,10 @@ class GraphBatch(struct.PyTreeNode):
     edge_pad_mask: Array
     graph_pad_mask: Array
     node_mask: Optional[Array] = None
+    # optional: [N+1] per-shard edge row-splits when edges are sorted by
+    # receiver (enables the Pallas MXU segment-sum path; see
+    # gcpnet_tpu.ops.pallas_segment and data.batching.sort_edges_by_receiver)
+    edge_row_splits: Optional[Array] = None
     extras: Dict[str, Array] = struct.field(default_factory=dict)
 
     @property

@@ -181,6 +181,7 @@ class GCPNetEncoder(nn.Module):
                 node_pos=node_pos,
                 edge_mask=edge_mask,
                 count_mask=count_mask,
+                row_splits=batch.edge_row_splits,
                 deterministic=deterministic,
             )
             if self.updating_node_positions:

@@ -66,6 +66,7 @@ class GCPInteractions(nn.Module):
         node_pos: Optional[Array] = None,
         edge_mask: Optional[Array] = None,
         count_mask: Optional[Array] = None,
+        row_splits: Optional[Array] = None,
         deterministic: bool = True,
     ):
         node_rep = ScalarVector(*node_rep)
@@ -101,11 +102,12 @@ class GCPInteractions(nn.Module):
             )
             fwd = interaction(
                 node_rep, edge_rep, senders, receivers, frames,
-                edge_mask=fmask, count_mask=count_mask,
+                edge_mask=fmask, count_mask=count_mask, row_splits=row_splits,
             )
             bwd = interaction(
                 ScalarVector(*node_rep_regressive), edge_rep, senders, receivers,
                 frames, edge_mask=bmask, count_mask=count_mask,
+                row_splits=row_splits,
             )
             hidden_residual = fwd + bwd
             # normalize by total in-degree over all (real) edges
@@ -120,6 +122,7 @@ class GCPInteractions(nn.Module):
             hidden_residual = interaction(
                 node_rep, edge_rep, senders, receivers, frames,
                 edge_mask=edge_mask, count_mask=count_mask,
+                row_splits=row_splits,
             )
 
         node_rep = node_rep + drop0(hidden_residual, deterministic)
@@ -301,6 +304,7 @@ class GCPInteractions2(nn.Module):
         node_pos: Optional[Array] = None,
         edge_mask: Optional[Array] = None,
         count_mask: Optional[Array] = None,
+        row_splits: Optional[Array] = None,
         deterministic: bool = True,
     ):
         node_rep = ScalarVector(*node_rep)
@@ -325,7 +329,7 @@ class GCPInteractions2(nn.Module):
 
         hidden_residual = interaction(
             node_rep, edge_rep, senders, receivers, frames,
-            edge_mask=edge_mask, count_mask=count_mask,
+            edge_mask=edge_mask, count_mask=count_mask, row_splits=row_splits,
         )
         # concat aggregated messages with the current node rep
         # (gcpnet.py:1414-1415)

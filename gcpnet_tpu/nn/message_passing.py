@@ -43,6 +43,7 @@ class GCPMessagePassing(nn.Module):
         frames: Array,
         edge_mask: Optional[Array] = None,
         count_mask: Optional[Array] = None,
+        row_splits: Optional[Array] = None,
     ) -> ScalarVector:
         mp_cfg = self.layer_cfg.mp_cfg
         num_nodes = node_rep.scalar.shape[0]
@@ -124,12 +125,15 @@ class GCPMessagePassing(nn.Module):
 
         flat = residual.flatten()
         ids = senders if self.aggregate_with_row else receivers
+        # receiver-sorted layouts ride the Pallas MXU segment kernel
+        rs = None if self.aggregate_with_row else row_splits
         if self.reduce_function == "mean":
             agg = segment_mean(
-                flat, ids, num_nodes, mask=edge_mask, count_mask=count_mask
+                flat, ids, num_nodes, mask=edge_mask, count_mask=count_mask,
+                row_splits=rs,
             )
         elif self.reduce_function in ("sum", "add"):
-            agg = segment_sum(flat, ids, num_nodes, mask=edge_mask)
+            agg = segment_sum(flat, ids, num_nodes, mask=edge_mask, row_splits=rs)
         else:
             raise ValueError(f"unknown reduce_function {self.reduce_function!r}")
         return ScalarVector.recover(agg, self.output_dims[1])

@@ -31,11 +31,26 @@ def _apply_mask(data: Array, mask: Optional[Array]) -> Array:
     return data * mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
 
 
+# Pallas MXU segment-sum over sorted edges: None = auto (TPU only);
+# set True/False to force (gcpnet_tpu.ops.pallas_segment).
+USE_PALLAS_SEGMENT: Optional[bool] = None
+
+
+def _pallas_enabled() -> bool:
+    if USE_PALLAS_SEGMENT is not None:
+        return USE_PALLAS_SEGMENT
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def segment_sum(
     data: Array,
     segment_ids: Array,
     num_segments: int,
     mask: Optional[Array] = None,
+    row_splits: Optional[Array] = None,
 ) -> Array:
     """Masked sum of ``data`` rows into ``num_segments`` buckets.
 
@@ -45,10 +60,16 @@ def segment_sum(
         any in-range index as long as ``mask`` zeroes them.
       num_segments: static number of output rows.
       mask: optional ``[E]`` bool/float; masked-out rows contribute zero.
+      row_splits: optional ``[num_segments+1]`` ranges when rows are sorted
+        by segment (padding rows last) — routes through the Pallas MXU
+        kernel on TPU.
     """
-    return jax.ops.segment_sum(
-        _apply_mask(data, mask), segment_ids, num_segments=num_segments
-    )
+    data = _apply_mask(data, mask)
+    if row_splits is not None and data.ndim == 2 and _pallas_enabled():
+        from gcpnet_tpu.ops.pallas_segment import segment_sum_sorted
+
+        return segment_sum_sorted(data, row_splits, num_segments)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
 def segment_count(
@@ -69,17 +90,29 @@ def segment_mean(
     num_segments: int,
     mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
+    row_splits: Optional[Array] = None,
 ) -> Array:
     """Masked mean with torch_scatter ``reduce="mean"`` semantics.
 
     ``mask`` gates the numerator; ``count_mask`` gates the denominator
     (defaults to ``mask``).  Counts are clamped to >= 1 so empty segments
-    yield 0 rather than NaN.
+    yield 0 rather than NaN.  ``row_splits`` (sorted rows, pad-only count
+    mask) routes the sum through the Pallas kernel and derives counts from
+    the splits.
     """
     if count_mask is None:
         count_mask = mask
-    total = segment_sum(data, segment_ids, num_segments, mask=mask)
-    count = segment_count(segment_ids, num_segments, mask=count_mask, dtype=total.dtype)
+    total = segment_sum(
+        data, segment_ids, num_segments, mask=mask, row_splits=row_splits
+    )
+    if row_splits is not None and count_mask is not None:
+        # sorted layout: real-edge counts are the split widths (valid when
+        # count_mask is the padding-only mask, as in message aggregation)
+        count = (row_splits[1:] - row_splits[:-1]).astype(total.dtype)
+    else:
+        count = segment_count(
+            segment_ids, num_segments, mask=count_mask, dtype=total.dtype
+        )
     count = jnp.maximum(count, 1.0)
     return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
 
@@ -106,11 +139,14 @@ def segment_softmax_denominator(
 def masked_mean(
     data: Array, mask: Optional[Array], axis=None, keepdims: bool = False
 ) -> Array:
-    """Mean over ``axis`` counting only rows where ``mask`` is set."""
+    """Mean over ``axis`` counting only elements where (broadcast) ``mask``
+    is set — e.g. a [N] mask over [N, 3] data counts 3 elements per valid
+    row, matching ``nn.MSELoss`` over the valid rows."""
     if mask is None:
         return jnp.mean(data, axis=axis, keepdims=keepdims)
     m = mask.astype(data.dtype)
     m = m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
+    m = jnp.broadcast_to(m, data.shape)
     total = jnp.sum(data * m, axis=axis, keepdims=keepdims)
     count = jnp.sum(m, axis=axis, keepdims=keepdims)
     count = jnp.broadcast_to(count, total.shape)
