@@ -54,6 +54,25 @@ def evaluate(cfg):
     trainer.state = restored
 
     metrics = trainer.test(datamodule)
+
+    # CPD: per-chain perplexity + autoregressive sequence recovery over the
+    # short/single_chain/all subsets (reference gcpnet_cpd_module test
+    # protocol)
+    if model_name == "GCPNetCPD" and hasattr(datamodule, "named_graphs"):
+        from gcpnet_tpu.models.cpd_eval import evaluate_cpd
+
+        cpd_metrics = evaluate_cpd(
+            model,
+            trainer.state.params,
+            datamodule.named_graphs("test"),
+            custom_splits=getattr(datamodule, "custom_splits", None),
+            num_samples=int(cfg.get("cpd_num_samples", 100)),
+            compute_recovery=bool(
+                (cfg.get("model") or {}).get("autoregressive_decoder", False)
+            ),
+        )
+        metrics.update(cpd_metrics)
+        log.info(f"CPD metrics: {cpd_metrics}")
     return metrics, trainer
 
 

@@ -481,9 +481,31 @@ class ARDataModule:
             write_structure(
                 out_path, Structure(s.atoms[:n]), coords=coords[:n]
             )
-            rows.append(
-                {"decoy": os.path.basename(decoy), "refined_pdb": out_path}
+            row = {"decoy": os.path.basename(decoy), "refined_pdb": out_path}
+            # score vs the native structure when available (reference AR
+            # test protocol: TM-score/GDT/MaxSub/RMSD + lDDT,
+            # gcpnet_ar_module.py:368-434; native implementations here)
+            native = (
+                os.path.join(self.predict_true_dir, os.path.basename(decoy))
+                if self.predict_true_dir
+                else None
             )
+            if native and os.path.exists(native):
+                try:
+                    from gcpnet_tpu.utils.external_tools import (
+                        calculate_tmscore_metrics,
+                        generate_lddt_score,
+                    )
+
+                    row.update(calculate_tmscore_metrics(out_path, native))
+                    row["lDDT"] = float(
+                        generate_lddt_score(
+                            out_path, native, per_residue=False
+                        )
+                    )
+                except Exception as exc:
+                    log.warning(f"scoring failed for {decoy}: {exc}")
+            rows.append(row)
         return rows
 
 

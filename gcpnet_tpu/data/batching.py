@@ -81,32 +81,82 @@ def make_bucket(
     )
 
 
-def sort_edges_by_receiver(batch: GraphBatch) -> GraphBatch:
-    """Reorder one shard's edges so real edges are sorted by receiver (pad
-    edges last) and attach [N+1] row splits, enabling the Pallas MXU
-    segment-sum (gcpnet_tpu.ops.pallas_segment).  Host-side numpy."""
+def sort_edges_by_receiver(batch: GraphBatch, tile: int = 128) -> GraphBatch:
+    """Reorder one shard's edges so real edges are sorted by receiver and
+    attach [N+1] row splits, enabling the Pallas MXU segment-sum
+    (gcpnet_tpu.ops.pallas_segment).
+
+    Each 128-node tile's edge segment is padded to a 128-edge boundary so
+    the kernel's HBM DMA starts are tile-aligned (a Mosaic requirement).
+    Falls back to the plain sorted layout without splits when the edge
+    budget lacks alignment slack.  Host-side numpy.
+    """
     receivers = np.asarray(batch.receivers)
+    num_edges = receivers.shape[0]
+    num_nodes = batch.num_nodes
     pad = ~np.asarray(batch.edge_pad_mask)
-    # stable sort: (pad, receiver) so padding edges land at the tail
-    order = np.lexsort((np.arange(receivers.shape[0]), receivers + pad * (batch.num_nodes + 1)))
+    order = np.lexsort(
+        (np.arange(num_edges), receivers + pad * (num_nodes + 1))
+    )
     real = int((~pad).sum())
     sorted_recv = receivers[order][:real]
-    counts = np.bincount(sorted_recv, minlength=batch.num_nodes)
-    splits = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    counts = np.bincount(sorted_recv, minlength=num_nodes)
+
+    # per-node-tile real-edge counts and aligned segment sizes
+    n_tiles = (num_nodes + tile - 1) // tile
+    tile_counts = np.add.reduceat(
+        np.pad(counts, (0, n_tiles * tile - num_nodes)),
+        np.arange(0, n_tiles * tile, tile),
+    )
+    aligned = ((tile_counts + tile - 1) // tile) * tile
+    total_aligned = int(aligned.sum())
+
+    if total_aligned > num_edges:
+        # not enough slack: sorted layout, no pallas splits
+        splits = None
+        final_order = order
+    else:
+        tile_starts = np.concatenate([[0], np.cumsum(aligned)[:-1]])
+        # position of each sorted real edge in the aligned layout
+        cum_real = np.concatenate([[0], np.cumsum(tile_counts)[:-1]])
+        recv_tile = sorted_recv // tile
+        within = np.arange(real) - cum_real[recv_tile]
+        dest = tile_starts[recv_tile] + within
+        final_order = np.full(num_edges, -1, dtype=np.int64)
+        final_order[dest] = order[:real]
+        # remaining slots take the padding edges (original pad + alignment)
+        spare = order[real:]
+        holes = np.where(final_order < 0)[0]
+        final_order[holes[: spare.shape[0]]] = spare
+        # if alignment created more holes than spare pad edges exist this
+        # is unreachable (total_aligned <= num_edges guarantees enough)
+        splits_within = np.concatenate([[0], np.cumsum(counts)])
+        # rebuild per-node splits in the aligned layout
+        node_tile = np.arange(num_nodes) // tile
+        node_local_start = splits_within[:-1] - cum_real[node_tile]
+        starts = tile_starts[node_tile] + node_local_start
+        ends = starts + counts
+        splits = np.concatenate([starts, [ends[-1] if num_nodes else 0]])
+        splits = splits.astype(np.int32)
 
     def reorder(arr):
-        return None if arr is None else np.asarray(arr)[order]
+        return None if arr is None else np.asarray(arr)[final_order]
 
     extras = {
-        k: (np.asarray(v)[order] if np.asarray(v).shape[:1] == receivers.shape else v)
+        k: (
+            np.asarray(v)[final_order]
+            if np.asarray(v).shape[:1] == receivers.shape
+            else v
+        )
         for k, v in batch.extras.items()
     }
+    new_pad_mask = np.asarray(batch.edge_pad_mask)[final_order]
     return batch.replace(
         e=reorder(batch.e),
         xi=reorder(batch.xi),
         senders=reorder(batch.senders),
         receivers=reorder(batch.receivers),
-        edge_pad_mask=reorder(batch.edge_pad_mask),
+        edge_pad_mask=new_pad_mask,
         edge_row_splits=splits,
         extras=extras,
     )

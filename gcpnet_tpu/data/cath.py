@@ -172,6 +172,22 @@ class CATHDataModule:
             sort_edges=True,
         )
 
+    def named_graphs(self, split: str):
+        """(name, GraphData) pairs for per-chain CPD evaluation
+        (perplexity/recovery with short/single_chain subsets)."""
+        for entry in self.splits[split]:
+            name = entry.get("name") or entry.get("id") or ""
+            try:
+                g = featurize_protein(
+                    entry,
+                    features_cfg=self.features_cfg,
+                    top_k=self.top_k,
+                    num_rbf=self.num_rbf,
+                )
+            except (KeyError, ValueError):
+                continue
+            yield name, g
+
     def train_batches(self, seed: int = 0):
         return self.batches("train", shuffle=True, seed=seed)
 

@@ -40,15 +40,18 @@ def _pad_to(x: int, m: int) -> int:
 
 def _seg_sum_kernel(splits_ref, bounds_ref, data_ref, out_ref):
     """splits_ref: [grid+1] int32 SMEM (scalar prefetch; per-tile edge
-    ranges); bounds_ref: [1, BOUNDS_W] VMEM (this tile's TN+1 segment
-    boundaries); data_ref: [E_pad, D] HBM; out_ref: [TN, D] VMEM."""
+    ranges); bounds_ref: [1, 8, BOUNDS_W] VMEM (this tile's TN+1 segment
+    boundaries in row 0; 8 sublanes for mosaic tiling); data_ref:
+    [E_pad, D] HBM; out_ref: [TN, D] VMEM."""
     i = pl.program_id(0)
-    e_start = splits_ref[i]
+    # tile starts are CHUNK-aligned by construction (host layout pads each
+    # node-tile's edge segment to a 128-edge boundary)
+    e_start = pl.multiple_of(splits_ref[i], CHUNK)
     e_end = splits_ref[i + 1]
     num_chunks = pl.cdiv(e_end - e_start, CHUNK)
 
-    lo = bounds_ref[0, :TN].reshape(1, TN)
-    hi = bounds_ref[0, 1 : TN + 1].reshape(1, TN)
+    lo = bounds_ref[0, 0, :TN].reshape(1, TN)
+    hi = bounds_ref[0, 0, 1 : TN + 1].reshape(1, TN)
 
     def body(scratch, sems):
         def get_dma(slot, c):
@@ -81,6 +84,7 @@ def _seg_sum_kernel(splits_ref, bounds_ref, data_ref, out_ref):
                 scratch[slot],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return acc
 
@@ -118,26 +122,34 @@ def _seg_sum_fwd_impl(data, row_splits, num_nodes):
         .set(data.astype(jnp.float32))
     )
 
-    # full per-node boundaries padded with the end sentinel
-    splits_full = jnp.full((n_pad + 1,), row_splits[-1], jnp.int32)
+    # full per-node boundaries; the pad sentinel is CHUNK-aligned so tile
+    # starts beyond the last real node stay provably aligned
+    sentinel = (
+        (row_splits[-1] + CHUNK - 1) // CHUNK
+    ) * CHUNK
+    splits_full = jnp.full((n_pad + 1,), sentinel, jnp.int32)
     splits_full = splits_full.at[: num_nodes + 1].set(
         row_splits.astype(jnp.int32)
     )
     grid = n_pad // TN
     # per-tile coarse edge ranges (scalar prefetch)
     tile_splits = splits_full[:: TN]  # [grid + 1]
-    # per-tile boundary rows for the one-hot comparison
-    bounds = jnp.zeros((grid, BOUNDS_W), jnp.int32)
+    # per-tile boundary rows for the one-hot comparison; shaped
+    # [grid, 8, BOUNDS_W] so the VMEM block (1, 8, BOUNDS_W) satisfies the
+    # mosaic (8, 128) tiling constraint
+    bounds = jnp.zeros((grid, 8, BOUNDS_W), jnp.int32)
     for_idx = jnp.arange(TN + 1)
     gather_idx = (jnp.arange(grid)[:, None] * TN) + for_idx[None, :]
-    bounds = bounds.at[:, : TN + 1].set(splits_full[gather_idx])
+    bounds = bounds.at[:, 0, : TN + 1].set(splits_full[gather_idx])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(
-                (1, BOUNDS_W), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                (1, 8, BOUNDS_W),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -105,14 +105,12 @@ def segment_mean(
     total = segment_sum(
         data, segment_ids, num_segments, mask=mask, row_splits=row_splits
     )
-    if row_splits is not None and count_mask is not None:
-        # sorted layout: real-edge counts are the split widths (valid when
-        # count_mask is the padding-only mask, as in message aggregation)
-        count = (row_splits[1:] - row_splits[:-1]).astype(total.dtype)
-    else:
-        count = segment_count(
-            segment_ids, num_segments, mask=count_mask, dtype=total.dtype
-        )
+    # counts always via the masked scatter of ones: with the tile-aligned
+    # sorted layout, split widths include alignment padding at node-tile
+    # boundaries and cannot be used as counts
+    count = segment_count(
+        segment_ids, num_segments, mask=count_mask, dtype=total.dtype
+    )
     count = jnp.maximum(count, 1.0)
     return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
 

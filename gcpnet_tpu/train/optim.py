@@ -49,6 +49,18 @@ def build_optimizer(cfg: Dict[str, Any]) -> optax.GradientTransformation:
     return tx
 
 
+def _eval_arith(value) -> float:
+    """Evaluate simple arithmetic in config values — the reference needs an
+    ``eval()`` workaround for expressions like
+    ``step_size: ${trainer.min_epochs} // 8`` (src/train.py:150-153)."""
+    if isinstance(value, (int, float)):
+        return value
+    text = str(value)
+    if not all(c in "0123456789.+-*/() e" for c in text):
+        raise ValueError(f"unsupported arithmetic expression {text!r}")
+    return eval(text, {"__builtins__": {}}, {})  # noqa: S307 - sanitized
+
+
 def build_schedule(
     scheduler_cfg: Optional[Dict[str, Any]], base_lr: float
 ) -> Optional[optax.Schedule]:
@@ -58,7 +70,7 @@ def build_schedule(
         return None
     name = str(scheduler_cfg.get("_target_", "")).rsplit(".", 1)[-1].lower()
     if name == "steplr":
-        step_size = int(scheduler_cfg["step_size"])
+        step_size = int(_eval_arith(scheduler_cfg["step_size"]))
         gamma = float(scheduler_cfg.get("gamma", 0.9))
         return optax.exponential_decay(
             init_value=base_lr,

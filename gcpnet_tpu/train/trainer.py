@@ -112,6 +112,21 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.max_steps_per_epoch = max_steps_per_epoch
 
+        # StepLR-style schedules fold into the optax chain; plateau runs on
+        # the host via lr_scale
+        from gcpnet_tpu.train.optim import build_schedule
+
+        sched = None
+        if scheduler_cfg:
+            try:
+                sched = build_schedule(
+                    scheduler_cfg,
+                    base_lr=float(self.optimizer_cfg.get("lr", 1e-4)),
+                )
+            except ValueError:
+                sched = None
+        if sched is not None:
+            self.optimizer_cfg = {**self.optimizer_cfg, "_schedule_": sched}
         self.tx = build_optimizer(self.optimizer_cfg)
         self.plateau = None
         if scheduler_cfg and "plateau" in str(

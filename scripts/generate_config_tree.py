@@ -187,6 +187,16 @@ def model_yaml(task):
     extra = ""
     if task == "nms":
         extra = "  updating_node_positions: true\n"
+    wd = "1e-8" if task == "cpd" else "0"
+    tail = ""
+    if task == "cpd":
+        tail = (
+            "node_input_dims: [6, 3]\n"
+            "edge_input_dims: [32, 1]\n\n"
+            "# use the autoregressive decoder (direct-shot GCPMLPDecoder"
+            " when false)\n"
+            "autoregressive_decoder: false\n\n"
+        )
     return f"""
 _target_: {MODEL_TARGETS[task]}
 
@@ -198,11 +208,11 @@ optimizer:
   _target_: optax.adam
   _partial_: true
   lr: 1e-4
-  weight_decay: 0
+  weight_decay: {wd}
 
 scheduler:  # leave empty to train without a learning-rate scheduler
 
-defaults:
+{tail}defaults:
   - model_cfg: gcp_model_{task}.yaml
   - module_cfg: gcp_module_{task}.yaml
   - layer_cfg: gcp_interaction_layer_{task}.yaml

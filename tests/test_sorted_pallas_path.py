@@ -53,7 +53,8 @@ def _model():
 
 def test_sorted_path_matches_unsorted(monkeypatch):
     graphs = _graphs()
-    bucket = Bucket(num_nodes=48, num_edges=160, num_graphs=3)
+    # edge budget includes slack for the 128-edge tile alignment
+    bucket = Bucket(num_nodes=48, num_edges=256, num_graphs=3)
     plain = next(
         batches_from_dataset(
             graphs, bucket, drop_last=False, extra_graph_keys=("label",)
