@@ -323,6 +323,8 @@ class ARDataModule:
         self.crop_seed = crop_seed
         self.splits: Dict[str, List[str]] = {}
         self.predict_paths: List[str] = []
+        self._predict_meta: List[dict] = []
+        self._window_coords: Dict[str, List[np.ndarray]] = {}
 
     def prepare_data(self):
         pass
@@ -444,7 +446,8 @@ class ARDataModule:
             )
             s = parse_pdb(decoy, heavy_only=True)
             num_res = int(s.residue_index().max()) + 1 if s.atoms else 0
-            for lo, hi, keep_lo, keep_hi in sliding_windows(num_res):
+            windows = sliding_windows(num_res)
+            for wi, (lo, hi, keep_lo, keep_hi) in enumerate(windows):
                 g = featurize_refinement_pair(
                     decoy, native,
                     esm_cache_dir=self.esm_cache_dir,
@@ -463,18 +466,38 @@ class ARDataModule:
                     )
                 )
                 self.predict_paths.append(decoy)
+                self._predict_meta.append(
+                    {"decoy": decoy, "last_window": wi == len(windows) - 1}
+                )
                 yield _globalize_ar_residues(batch, self.max_residues_per_batch)
 
     def record_predictions(self, batch, preds, output_dir, decoy=None):
-        """Write refined PDBs (reference gcpnet_ar_module predict path)."""
+        """Accumulate per-window predictions and write one stitched refined
+        PDB per decoy (reference combine_individual_batch_inputs,
+        gcpnet_ar_module.py:260-284): each window contributes only its
+        non-overlap atoms (``overlap_keep_mask``)."""
         from gcpnet_tpu.data.pdb import parse_pdb as _parse, write_structure
 
+        meta = (
+            self._predict_meta.pop(0)
+            if self._predict_meta
+            else {"decoy": decoy, "last_window": True}
+        )
         if decoy is None and self.predict_paths:
             decoy = self.predict_paths.pop(0)
         rows = []
         if decoy:
             mask = np.asarray(batch.node_pad_mask)
-            coords = np.asarray(preds)[mask]
+            keep = (
+                np.asarray(batch.extras["overlap_keep_mask"]).astype(bool)
+                if "overlap_keep_mask" in batch.extras
+                else np.ones_like(mask)
+            )
+            coords = np.asarray(preds)[mask & keep]
+            self._window_coords.setdefault(decoy, []).append(coords)
+            if not meta.get("last_window", True):
+                return rows  # wait for the remaining windows
+            coords = np.concatenate(self._window_coords.pop(decoy), axis=0)
             s = _parse(decoy, heavy_only=True)
             out_path = os.path.join(output_dir, os.path.basename(decoy))
             n = min(len(s.atoms), coords.shape[0])

@@ -21,11 +21,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from gcpnet_tpu.data.batching import (
-    Bucket,
-    batches_from_dataset,
-    pack_by_budget,
-)
+from gcpnet_tpu.data.batching import Bucket, batches_from_dataset
 from gcpnet_tpu.data.features import (
     edge_geometric_features,
     orientations,
@@ -268,6 +264,16 @@ class ATOM3DDataModule:
                 yield g
 
     def _bucket(self) -> Bucket:
+        if self.max_units and self.max_units > 0:
+            # reference edge-budget BatchSampler mode (max_units > 0,
+            # atom3d_datamodule.py:183-209): the padded bucket is derived
+            # from the unit budget
+            from gcpnet_tpu.data.batching import make_bucket
+
+            return make_bucket(
+                self.max_units, self.unit, self.batch_size,
+                avg_degree=self.max_neighbors,
+            )
         n = self.max_nodes_per_batch
         return Bucket(
             num_nodes=n,

@@ -155,6 +155,13 @@ class CATHDataModule:
             yield g
 
     def _bucket(self) -> Bucket:
+        if self.max_units and self.max_units > 0:
+            from gcpnet_tpu.data.batching import make_bucket
+
+            return make_bucket(
+                self.max_units, self.unit, self.batch_size,
+                avg_degree=self.top_k,
+            )
         n = self.max_nodes_per_batch
         return Bucket(
             num_nodes=n, num_edges=n * self.top_k, num_graphs=self.batch_size

@@ -25,6 +25,7 @@ from gcpnet_tpu.nn import (
     localize,
 )
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
+from gcpnet_tpu.nn.primitives import get_nonlinearity
 from gcpnet_tpu.ops.segment import segment_mean
 
 Array = jax.Array
@@ -104,8 +105,6 @@ class InvariantPooledHead(nn.Module):
         pooled = segment_mean(
             out, batch.graph_id, batch.num_graphs, mask=batch.valid_node_mask()
         )
-        from gcpnet_tpu.nn.primitives import get_nonlinearity
-
         hidden = self.node_dims[0] * self.output_scale_factor
         y = Dense(hidden, name="dense_0")(pooled)
         y = get_nonlinearity(self.dense_activation)(y)

@@ -83,6 +83,7 @@ class Trainer:
         profiler_trace_dir: Optional[str] = None,
         precision: int = 32,
         scan_chunk_size: int = 1,
+        checkpoint_every_n_steps: Optional[int] = None,
     ):
         self.scan_chunk_size = max(1, int(scan_chunk_size))
         self._train_scan = None
@@ -139,15 +140,17 @@ class Trainer:
             )
 
         self.ckpt = None
+        self.checkpoint_every_n_steps = checkpoint_every_n_steps
+        self._last_step_ckpt = 0
         if checkpoint_dir:
             self.ckpt = CheckpointManager(
                 checkpoint_dir,
                 max_to_keep=save_top_k,
                 monitor=monitor,
                 mode=monitor_mode,
+                every_n_steps=checkpoint_every_n_steps,
             )
         self.log_dir = log_dir
-        self._csv_rows = []
         self._train_step = None
         self._eval_step = None
         self.state: Optional[TrainState] = None
@@ -347,6 +350,13 @@ class Trainer:
                 if i % self.log_every_n_steps == 0:
                     losses.append(float(loss))
         flush_chunk()
+        # step-frequency checkpointing (the reference NStepModelCheckpoint,
+        # src/utils/__init__.py:25)
+        if self.ckpt is not None and self.checkpoint_every_n_steps:
+            step = int(self.state.step)
+            if step - self._last_step_ckpt >= self.checkpoint_every_n_steps:
+                self.ckpt.save(step, self.state, {"step": float(step)})
+                self._last_step_ckpt = step
         dt = time.time() - t0
         metrics = {
             "train/loss": float(np.mean(losses)) if losses else float("nan"),

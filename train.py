@@ -104,6 +104,11 @@ def build_trainer(cfg, model, loss_fn, model_name, mesh):
         else None,
         precision=int(trainer_cfg.get("precision", 32) or 32),
         scan_chunk_size=int(trainer_cfg.get("scan_chunk_size", 1) or 1),
+        checkpoint_every_n_steps=(
+            (callbacks.get("n_step_model_checkpoint") or {}).get(
+                "save_frequency"
+            )
+        ),
     )
     return trainer
 
@@ -170,6 +175,12 @@ def main(argv=None):
             run_overrides += [f"{k}={v}" for k, v in params.items()]
             run_cfg = compose(CONFIG_DIR, "train.yaml", run_overrides)
             metrics, _ = train(run_cfg)
+            # free compiled executables + pinned device buffers between
+            # trials: stale jit caches degrade subsequent runs badly on
+            # single-chip setups
+            import jax
+
+            jax.clear_caches()
             return metrics.get(cfg.get("optimized_metric", "val/loss"))
 
         best_params, best_value, _ = run_search(
@@ -202,6 +213,9 @@ def main(argv=None):
             cfg = compose(CONFIG_DIR, "train.yaml", run_overrides)
             metrics, _ = train(cfg)
             results.append(metrics)
+            import jax
+
+            jax.clear_caches()
         return results
 
     cfg = compose(CONFIG_DIR, "train.yaml", argv)
