@@ -98,43 +98,37 @@ class NMSDataModule:
     def setup(self):
         for split in self.sizes:
             with np.load(self._cache_path(split)) as z:
-                self.splits[split] = {
-                    "loc": z["loc"],
-                    "vel": z["vel"],
-                    "edges": z["edges"],
-                }
+                self.splits[split] = self._precompute_features(
+                    z["loc"], z["vel"], z["edges"]
+                )
 
     @property
     def num_nodes_per_graph(self) -> int:
-        return self.splits["train"]["loc"].shape[2]
+        return self.splits["train"]["x"].shape[1]
 
     # --- featurization ----------------------------------------------------
-    def _featurize(self, split: str, idx: np.ndarray) -> GraphBatch:
-        """Build one rectangular GraphBatch from sample indices."""
-        d = self.splits[split]
-        loc0 = d["loc"][idx, self.frame_0]  # [B, n, 3]
-        locT = d["loc"][idx, self.frame_T]
-        vel0 = d["vel"][idx, self.frame_0]
-        qq = d["edges"][idx]  # [B, n, n]
+    def _precompute_features(self, loc, vel, qq):
+        """Featurize a whole split at once (the dataset is static, so host
+        work per training batch collapses to indexing + reshape)."""
+        loc0 = loc[:, self.frame_0].astype(np.float32)  # [S, n, 3]
+        locT = loc[:, self.frame_T].astype(np.float32)
+        vel0 = vel[:, self.frame_0].astype(np.float32)
 
-        B, n, _ = loc0.shape
+        S, n, _ = loc0.shape
         s, r = _fc_edges(n)
-        e_per = s.shape[0]
 
-        # nodes (orientations vectorized across the batch)
         h = np.linalg.norm(vel0, axis=-1, keepdims=True).astype(np.float32)
         fwd = normalize(loc0[:, 1:] - loc0[:, :-1])
         bwd = normalize(loc0[:, :-1] - loc0[:, 1:])
-        zeros = np.zeros((B, 1, 3), np.float32)
+        zeros = np.zeros((S, 1, 3), np.float32)
         fwd = np.concatenate([fwd, zeros], axis=1)
         bwd = np.concatenate([zeros, bwd], axis=1)
-        orient = np.stack([fwd, bwd], axis=2)  # [B, n, 2, 3]
+        orient = np.stack([fwd, bwd], axis=2)
         chi = np.concatenate([vel0[:, :, None, :], orient], axis=2).astype(
             np.float32
         )
 
-        # edges
-        vec = loc0[:, s] - loc0[:, r]  # [B, e, 3]
+        vec = loc0[:, s] - loc0[:, r]
         dist = np.linalg.norm(vec, axis=-1)
         e_rbf = rbf(dist, d_max=self.d_max, d_count=self.num_rbf)
         qq_e = qq[:, s, r][..., None].astype(np.float32)
@@ -142,6 +136,20 @@ class NMSDataModule:
             np.concatenate([qq_e, e_rbf], axis=-1).astype(np.float32)
         )
         e_v = np.nan_to_num(normalize(vec)[:, :, None, :].astype(np.float32))
+
+        return {
+            "h": h, "chi": chi, "e": e_s, "xi": e_v,
+            "x": loc0, "label": locT, "senders": s, "receivers": r,
+        }
+
+    def _featurize(self, split: str, idx: np.ndarray) -> GraphBatch:
+        """Assemble one rectangular GraphBatch by indexing the precomputed
+        per-sample feature tensors."""
+        d = self.splits[split]
+        B = idx.shape[0]
+        n = d["x"].shape[1]
+        s, r = d["senders"], d["receivers"]
+        e_per = s.shape[0]
 
         # flatten graphs into one batch with shard-local offsets: graph g's
         # nodes live at (g % graphs_per_shard) * n within its shard, so each
@@ -155,11 +163,11 @@ class NMSDataModule:
 
         N, E = B * n, B * e_per
         return GraphBatch(
-            h=h.reshape(N, 1),
-            chi=chi.reshape(N, 3, 3),
-            e=e_s.reshape(E, 1 + self.num_rbf),
-            xi=e_v.reshape(E, 1, 3),
-            x=loc0.reshape(N, 3).astype(np.float32),
+            h=d["h"][idx].reshape(N, 1),
+            chi=d["chi"][idx].reshape(N, 3, 3),
+            e=d["e"][idx].reshape(E, 1 + self.num_rbf),
+            xi=d["xi"][idx].reshape(E, 1, 3),
+            x=d["x"][idx].reshape(N, 3),
             senders=senders,
             receivers=receivers,
             graph_id=graph_id,
@@ -167,7 +175,7 @@ class NMSDataModule:
             edge_pad_mask=np.ones(E, bool),
             graph_pad_mask=np.ones(B, bool),
             node_mask=None,
-            extras={"label": locT.reshape(N, 3).astype(np.float32)},
+            extras={"label": d["label"][idx].reshape(N, 3)},
         )
 
     # --- iteration --------------------------------------------------------

@@ -383,6 +383,16 @@ class Trainer:
     ) -> Dict:
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
+        if self.state is None:
+            # evaluating without a prior fit (train=false): init params
+            batches = iter(batches)
+            first = next(batches, None)
+            if first is None:
+                return {f"{prefix}/loss": float("nan")}
+            self.init_state(self._put(first))
+            import itertools
+
+            batches = itertools.chain([first], batches)
         losses = []
         collector = Collector() if self.collect_fn else None
         for batch in batches:
