@@ -310,6 +310,12 @@ class ARDataModule:
         self.backbone_only = subset_to_backbone_atoms_only
         self.batch_size = batch_size
         self.num_shards = num_shards
+        if num_shards > 1:
+            log.warning(
+                "per-residue label globalization currently assumes a "
+                "single shard; falling back to num_shards=1"
+            )
+            self.num_shards = 1
         self.max_nodes_per_batch = max_nodes_per_batch
         self.max_residues_per_batch = max_residues_per_batch
         self.predict_input_dir = predict_input_dir
