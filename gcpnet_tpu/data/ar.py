@@ -401,10 +401,15 @@ class ARDataModule:
         return g
 
     def _graphs(self, split: str, crop: bool, seed: int = 0):
+        from gcpnet_tpu.utils.utils import TimeoutException, time_limit
+
         for i, name in enumerate(self.splits.get(split, [])):
             try:
-                yield self._featurize(name, crop=crop, seed=seed + i)
-            except (ValueError, OSError) as exc:
+                # drop examples whose parsing hangs (reference signal-based
+                # time_limit guard, ar_dataset.py:548-557)
+                with time_limit(120):
+                    yield self._featurize(name, crop=crop, seed=seed + i)
+            except (ValueError, OSError, TimeoutException) as exc:
                 log.warning(f"skipping {name}: {exc}")
 
     def _bucket(self) -> Bucket:

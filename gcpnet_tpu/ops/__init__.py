@@ -1,8 +1,12 @@
+from gcpnet_tpu.ops.pallas_segment import (
+    row_splits_from_sorted_ids,
+    segment_sum_sorted,
+)
 from gcpnet_tpu.ops.segment import (
-    segment_sum,
+    masked_mean,
     segment_mean,
     segment_softmax_denominator,
-    masked_mean,
+    segment_sum,
 )
 
 __all__ = [
@@ -10,4 +14,6 @@ __all__ = [
     "segment_mean",
     "segment_softmax_denominator",
     "masked_mean",
+    "segment_sum_sorted",
+    "row_splits_from_sorted_ids",
 ]

@@ -136,6 +136,22 @@ def train(cfg):
     loss_fn = build_loss(model_name)
     trainer = build_trainer(cfg, model, loss_fn, model_name, mesh)
 
+    # log the composed hyperparameters to every logger backend
+    # (reference utils.log_hyperparameters, src/utils/utils.py:143-183)
+    for lg in trainer.loggers:
+        try:
+            lg.log_hyperparams(
+                {
+                    "model": cfg.get("model"),
+                    "datamodule": cfg.get("datamodule"),
+                    "trainer": cfg.get("trainer"),
+                    "seed": seed,
+                    "tags": cfg.get("tags"),
+                }
+            )
+        except Exception:
+            pass
+
     metrics = {}
     if cfg.get("train", True):
         resume = cfg.get("ckpt_path") is not None
