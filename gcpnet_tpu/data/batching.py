@@ -228,6 +228,16 @@ def batches_from_dataset(
     order = np.arange(len(graphs))
     if shuffle_seed is not None:
         np.random.default_rng(shuffle_seed).shuffle(order)
+    # multi-host: each process consumes a disjoint slice of the (shared,
+    # deterministic) order — the role of the reference's
+    # DistributedSamplerWrapper (sampler.py:76-126) across hosts
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            order = order[jax.process_index() :: jax.process_count()]
+    except Exception:
+        pass
 
     shard: List[GraphData] = []
     shards: List[List[GraphData]] = []

@@ -32,6 +32,18 @@ def _make_mesh_from_cfg(trainer_cfg):
 
     from gcpnet_tpu.parallel import make_mesh
 
+    # multi-host: extend the dp mesh over DCN (SURVEY.md §2.8) — the
+    # coordinator address/process counts come from the cluster environment
+    if int(trainer_cfg.get("num_nodes", 1) or 1) > 1:
+        try:
+            jax.distributed.initialize()
+            log.info(
+                f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+        except Exception as exc:
+            log.warning(f"jax.distributed.initialize failed: {exc}")
+
     accelerator = str(trainer_cfg.get("accelerator", "tpu"))
     if accelerator == "cpu":
         try:
