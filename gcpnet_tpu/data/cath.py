@@ -149,9 +149,6 @@ class CATHDataModule:
                 )
             except (KeyError, ValueError):
                 continue
-            g.extras["name_hash"] = np.int32(
-                hash(entry.get("name") or "") % (2**31)
-            )
             yield g
 
     def _bucket(self) -> Bucket:

@@ -85,6 +85,7 @@ def build_datamodule(block: Dict[str, Any], num_shards: int = 1, seed: int = 42)
             num_rbf=int(block.get("num_rbf", 16)),
             batch_size=int(block.get("batch_size", 64)),
             num_shards=num_shards,
+            synthetic_sizes=block.get("synthetic_sizes"),
         )
 
     if target == "EQDataModule":
