@@ -29,15 +29,19 @@ MODEL_OF_TASK = {v: k for k, v in TASK_OF_MODEL.items()}
 
 
 def model_name_from_target(target: str) -> str:
-    cls = MODEL_REGISTRY.get(target) or MODEL_REGISTRY.get(
-        target.rsplit(".", 1)[-1]
-    )
-    if cls is None:
-        # reference-style targets resolve through the registry aliases
-        from gcpnet_tpu.config.instantiate import resolve_target
+    """Resolve a config ``_target_`` to its registry NAME (not the class
+    __name__: GCPNetPSR aliases the GCPNetLBA class but keeps PSR-specific
+    metrics/wiring)."""
+    short = target.rsplit(".", 1)[-1]
+    if short in MODEL_OF_TASK.values() or short in TASK_OF_MODEL:
+        return short
+    # reference-style targets: src.models.gcpnet_psr_module.GCPNetPSRLitModule
+    for key in TASK_OF_MODEL:
+        if key.lower().replace("gcpnet", "") in short.lower():
+            return key
+    from gcpnet_tpu.config.instantiate import resolve_target
 
-        cls = resolve_target(target)
-    return cls.__name__
+    return resolve_target(target).__name__
 
 
 def build_model(model_block: Dict[str, Any]):
