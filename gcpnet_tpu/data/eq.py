@@ -81,7 +81,8 @@ def featurize_decoy(
     res_idx = s.residue_index()
     num_res = int(res_idx.max()) + 1
     chain_ids = np.asarray(
-        [hash(a.chain) % 97 for a in s.atoms], dtype=np.int32
+        [(ord(a.chain[0]) if a.chain else 0) % 97 for a in s.atoms],
+        dtype=np.int32
     )
     coords = s.coords
     atom_types = np.asarray(

@@ -338,7 +338,8 @@ class RSDataModule:
         return True
 
     def _make_synthetic_split(self, split: str):
-        rng = np.random.default_rng(self.seed + hash(split) % 1000)
+        split_offset = {"train": 0, "valid": 1, "test": 2}.get(split, 3)
+        rng = np.random.default_rng(self.seed + split_offset)
         n_pairs = self.synthetic_sizes[split] // 2
         graphs, labels, groups = [], [], []
         for _ in range(n_pairs):

@@ -59,6 +59,7 @@ def _accuracy_after_training(e3: bool, tmp_path) -> float:
 @pytest.mark.slow
 def test_se3_learns_chirality_e3_cannot(tmp_path):
     acc_se3 = _accuracy_after_training(e3=False, tmp_path=tmp_path)
+    jax.clear_caches()  # avoid in-process cross-trainer interference
     acc_e3 = _accuracy_after_training(e3=True, tmp_path=tmp_path)
     # SE(3) model separates enantiomers; E(3) model is blind to them
     assert acc_se3 > 0.9, f"SE(3) model failed to learn chirality: {acc_se3}"
