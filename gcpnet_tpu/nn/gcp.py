@@ -342,8 +342,10 @@ class GCP(nn.Module):
                 return ScalarVector(scalar_rep, new_vector)
             return scalar_rep
 
-        # stage 2: frame-based scalar update (gcpnet.py:214-228)
-        frames_input = new_vector if v_out else vector_hidden_rep
+        # stage 2: frame-based scalar update (gcpnet.py:214-228); with no
+        # vector output the reference projects the RAW input vectors (its
+        # vector_rep is only reassigned when v_out > 0)
+        frames_input = new_vector if v_out else vector_rep
         vdf = VecDense(st.sv_dim, name="vector_down_frames")(frames_input)
         scalar_hidden_rep = scalarize(
             vdf,
