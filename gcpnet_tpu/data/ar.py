@@ -91,7 +91,7 @@ def hybrid_knn_edges(
     coords: np.ndarray, k_min: int, k_max: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Edges = top-k_max nearest atoms OR |i - j| < k_min
-    (ar_dataset.py:157-194; senders=центр i, receivers=j per reference's
+    (ar_dataset.py:157-194; senders=center i, receivers=j per reference's
     (src=i, dst=j) convention)."""
     n = coords.shape[0]
     try:

@@ -94,6 +94,15 @@ def sort_edges_by_receiver(batch: GraphBatch, tile: int = 128) -> GraphBatch:
     receivers = np.asarray(batch.receivers)
     num_edges = receivers.shape[0]
     num_nodes = batch.num_nodes
+    if num_nodes == num_edges:
+        # Extras reordering keys on leading-dim == num_edges; with equal
+        # counts node-level extras would be silently scrambled (same
+        # ambiguity guard as batch_graphs).
+        raise ValueError(
+            "sort_edges_by_receiver: bucket has num_nodes == num_edges "
+            f"({num_nodes}); extras reordering would be ambiguous — pad the "
+            "bucket so the counts differ"
+        )
     pad = ~np.asarray(batch.edge_pad_mask)
     order = np.lexsort(
         (np.arange(num_edges), receivers + pad * (num_nodes + 1))

@@ -40,7 +40,9 @@ def _pallas_enabled() -> bool:
     if USE_PALLAS_SEGMENT is not None:
         return USE_PALLAS_SEGMENT
     try:
-        return jax.default_backend() == "tpu"
+        # "axon" is this stack's remote-TPU platform name; Pallas lowers to
+        # Mosaic on it the same as on a local "tpu" platform.
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 
@@ -66,6 +68,15 @@ def segment_sum(
     """
     data = _apply_mask(data, mask)
     if row_splits is not None and data.ndim == 2 and _pallas_enabled():
+        if mask is None:
+            # The sorted layout has tile-alignment holes between node tiles;
+            # without a mask those padding rows would be summed into the
+            # last node of each 128-node tile (and get spurious gradients
+            # through the custom VJP).
+            raise ValueError(
+                "segment_sum: row_splits (Pallas sorted path) requires a "
+                "mask zeroing the padding/alignment rows"
+            )
         from gcpnet_tpu.ops.pallas_segment import segment_sum_sorted
 
         return segment_sum_sorted(data, row_splits, num_segments)

@@ -23,19 +23,20 @@ def build_optimizer(cfg: Dict[str, Any]) -> optax.GradientTransformation:
     lr_or_schedule = schedule if schedule is not None else lr
 
     if name == "adam":
+        # torch.optim.Adam applies *coupled* L2: the decay term is added to
+        # the gradient before the moment updates (unlike AdamW's decoupled
+        # decay) — matters for AR (wd=1e-3) and CPD (wd=1e-8) dynamics.
+        adam = optax.adam(
+            lr_or_schedule,
+            b1=float(cfg.get("beta1", 0.9)),
+            b2=float(cfg.get("beta2", 0.999)),
+        )
         if weight_decay:
-            tx = optax.adamw(
-                lr_or_schedule,
-                b1=float(cfg.get("beta1", 0.9)),
-                b2=float(cfg.get("beta2", 0.999)),
-                weight_decay=weight_decay,
+            tx = optax.chain(
+                optax.add_decayed_weights(weight_decay), adam
             )
         else:
-            tx = optax.adam(
-                lr_or_schedule,
-                b1=float(cfg.get("beta1", 0.9)),
-                b2=float(cfg.get("beta2", 0.999)),
-            )
+            tx = adam
     elif name == "adamw":
         tx = optax.adamw(lr_or_schedule, weight_decay=weight_decay)
     elif name == "sgd":

@@ -217,7 +217,10 @@ class Trainer:
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
                 ring = ring.push(jnp.minimum(gnorm, thr))
 
-            # NaN/inf-loss guard: skip the update entirely
+            # NaN/inf-loss guard: skip the update entirely — params AND
+            # opt_state keep their old values on a bad step, so Adam moments
+            # do not move (reference skips backprop on invalid loss,
+            # gcpnet_ar_module.py:217-219).
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.where(ok, g, 0.0), grads
@@ -227,6 +230,13 @@ class Trainer:
                 lambda u: u * lr_scale, updates
             )
             params = optax.apply_updates(state.params, updates)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state, state.opt_state,
+            )
             new_state = state.replace(
                 step=state.step + 1,
                 params=params,
@@ -327,7 +337,7 @@ class Trainer:
                     self.state, loss, gnorm = self._train_step(
                         self.state, self._put(b), rng, lr_scale
                     )
-                losses.append(float(loss))
+                    losses.append(float(loss))
             n += len(chunk)
             chunk.clear()
 
