@@ -154,10 +154,14 @@ class GCP2(nn.Module):
     output_dims: Tuple[int, int]
     settings: GCPSettings
 
+    # the reference's GCP2 silently swallows ``feedforward_out`` via
+    # **kwargs (gcpnet.py:252-270); only GCP3 builds the 2-layer scalar MLP
+    _supports_feedforward_out = False
+
     def _apply_scalar_out(self, merged: Array) -> Array:
         st = self.settings
         sdim = self.output_dims[0]
-        if st.feedforward_out:
+        if st.feedforward_out and self._supports_feedforward_out:
             act = get_nonlinearity(st.scalar_out_nonlinearity, st.nonlinearity_slope)
             x = Dense(sdim, name="scalar_out_0")(merged)
             return Dense(sdim, name="scalar_out_1")(act(x))
@@ -267,6 +271,8 @@ class GCP3(GCP2):
     optional 2-layer ``scalar_out`` MLP (``feedforward_out``) whose inner
     nonlinearity is ``scalar_out_nonlinearity`` (default silu).  Enabled via
     ``GCPSettings.feedforward_out``."""
+
+    _supports_feedforward_out = True
 
 
 class GCP(nn.Module):

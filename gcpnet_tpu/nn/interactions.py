@@ -74,6 +74,18 @@ class GCPInteractions(nn.Module):
         num_nodes = node_rep.scalar.shape[0]
         reduce_function = "add" if self.autoregressive else "mean"
 
+        # Reference mask semantics (gcpnet.py:1161-1246): node validity gates
+        # the scalarize/vectorize numerators inside the message GCPs, but the
+        # message aggregation itself runs over every (real) edge; only the
+        # padding mask may gate aggregation.
+        nm_e = None
+        if node_mask is not None:
+            nm_e = node_mask[senders] & node_mask[receivers]
+        frame_mask = edge_mask
+        if nm_e is not None:
+            frame_mask = nm_e if frame_mask is None else (frame_mask & nm_e)
+        agg_mask = count_mask if count_mask is not None else edge_mask
+
         interaction = GCPMessagePassing(
             input_dims=tuple(self.node_dims),
             output_dims=tuple(self.node_dims),
@@ -95,19 +107,22 @@ class GCPInteractions(nn.Module):
 
         # message passing (optionally autoregressive)
         if node_rep_regressive is not None:
+            def _and(mask, extra):
+                return extra if mask is None else (mask & extra)
+
             forward_mask = senders < receivers
-            fmask = forward_mask if edge_mask is None else (edge_mask & forward_mask)
-            bmask = (
-                ~forward_mask if edge_mask is None else (edge_mask & ~forward_mask)
-            )
             fwd = interaction(
                 node_rep, edge_rep, senders, receivers, frames,
-                edge_mask=fmask, count_mask=count_mask, row_splits=row_splits,
+                edge_mask=_and(agg_mask, forward_mask),
+                frame_mask=_and(frame_mask, forward_mask),
+                count_mask=count_mask, row_splits=row_splits,
             )
             bwd = interaction(
                 ScalarVector(*node_rep_regressive), edge_rep, senders, receivers,
-                frames, edge_mask=bmask, count_mask=count_mask,
-                row_splits=row_splits,
+                frames,
+                edge_mask=_and(agg_mask, ~forward_mask),
+                frame_mask=_and(frame_mask, ~forward_mask),
+                count_mask=count_mask, row_splits=row_splits,
             )
             hidden_residual = fwd + bwd
             # normalize by total in-degree over all (real) edges
@@ -121,7 +136,8 @@ class GCPInteractions(nn.Module):
         else:
             hidden_residual = interaction(
                 node_rep, edge_rep, senders, receivers, frames,
-                edge_mask=edge_mask, count_mask=count_mask,
+                edge_mask=agg_mask, frame_mask=frame_mask,
+                count_mask=count_mask,
                 row_splits=row_splits,
             )
 
@@ -137,10 +153,10 @@ class GCPInteractions(nn.Module):
         # (both endpoints unmasked) and the mean denominators reproduces
         # those numerics statically.
         if node_mask is not None:
-            ff_edge_mask = node_mask[senders] & node_mask[receivers]
-            if edge_mask is not None:
-                ff_edge_mask = ff_edge_mask & edge_mask
-            ff_count_mask = ff_edge_mask
+            # subgraph re-extraction (gcpnet.py:1201-1217): both numerator
+            # and mean denominator see only the unmasked-subgraph edges
+            ff_edge_mask = frame_mask
+            ff_count_mask = frame_mask
         else:
             ff_edge_mask = edge_mask
             ff_count_mask = count_mask
@@ -214,7 +230,8 @@ class GCPInteractions(nn.Module):
 
         x_update = self._derive_x_update(
             node_rep, senders, receivers, frames,
-            edge_mask=edge_mask, count_mask=count_mask,
+            edge_mask=frame_mask, count_mask=count_mask,
+            force_mask=agg_mask,
         )
         node_pos = node_pos + x_update
         return node_rep, node_pos
@@ -227,8 +244,14 @@ class GCPInteractions(nn.Module):
         frames: Array,
         edge_mask: Optional[Array],
         count_mask: Optional[Array],
+        force_mask: Optional[Array] = None,
     ) -> Array:
-        """Equivariant position update head (gcpnet.py:1118-1158)."""
+        """Equivariant position update head (gcpnet.py:1118-1158).
+
+        ``edge_mask`` gates the position-GCP's frame numerators; the force
+        term's scatter-mean runs over every real edge (``force_mask``,
+        padding-level) — the reference applies no node mask there
+        (gcpnet.py:1144-1153)."""
         st_cfg = self.cfg
         pos_gcp = make_gcp(
             tuple(self.node_dims),
@@ -270,9 +293,10 @@ class GCPInteractions(nn.Module):
                 + coef[:, 1:2] * frames[:, 1]
                 + coef[:, 2:3] * frames[:, 2]
             )
+            fm = force_mask if force_mask is not None else edge_mask
             x_force = segment_mean(
                 force_e, receivers, h_v.shape[0],
-                mask=edge_mask, count_mask=count_mask,
+                mask=fm, count_mask=fm,
             )
 
         x_update = (chi_v[:, 0, :] + x_force) * st_cfg.node_positions_weight
@@ -310,6 +334,16 @@ class GCPInteractions2(nn.Module):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
 
+        # same mask split as GCPInteractions: node validity gates frame-op
+        # numerators; aggregation sums every real edge (gcpnet.py:1380-1415)
+        nm_e = None
+        if node_mask is not None:
+            nm_e = node_mask[senders] & node_mask[receivers]
+        frame_mask = edge_mask
+        if nm_e is not None:
+            frame_mask = nm_e if frame_mask is None else (frame_mask & nm_e)
+        agg_mask = count_mask if count_mask is not None else edge_mask
+
         interaction = GCPMessagePassing(
             input_dims=tuple(self.node_dims),
             output_dims=tuple(self.node_dims),
@@ -329,7 +363,8 @@ class GCPInteractions2(nn.Module):
 
         hidden_residual = interaction(
             node_rep, edge_rep, senders, receivers, frames,
-            edge_mask=edge_mask, count_mask=count_mask, row_splits=row_splits,
+            edge_mask=agg_mask, frame_mask=frame_mask,
+            count_mask=count_mask, row_splits=row_splits,
         )
         # concat aggregated messages with the current node rep
         # (gcpnet.py:1414-1415)
@@ -373,6 +408,9 @@ class GCPInteractions2(nn.Module):
                 )
             )
 
+        # unlike GCPInteractions, no subgraph re-extraction here: the FF
+        # runs on the full edge set with node-masked numerators and
+        # all-real-edge denominators (gcpnet.py:1408-1419)
         for module in ff_stack:
             hidden_residual = module(
                 hidden_residual,
@@ -380,7 +418,7 @@ class GCPInteractions2(nn.Module):
                 receivers,
                 frames,
                 node_inputs=True,
-                edge_mask=edge_mask,
+                edge_mask=frame_mask,
                 count_mask=count_mask,
             )
 
@@ -409,7 +447,7 @@ class GCPInteractions2(nn.Module):
             receivers,
             frames,
             node_inputs=True,
-            edge_mask=edge_mask,
+            edge_mask=frame_mask,
             count_mask=count_mask,
         )
         x_update = update_rep.vector[:, 0, :] * self.cfg.node_positions_weight

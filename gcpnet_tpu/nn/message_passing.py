@@ -44,7 +44,13 @@ class GCPMessagePassing(nn.Module):
         edge_mask: Optional[Array] = None,
         count_mask: Optional[Array] = None,
         row_splits: Optional[Array] = None,
+        frame_mask: Optional[Array] = None,
     ) -> ScalarVector:
+        """``edge_mask`` gates the final message aggregation (padding-level);
+        ``frame_mask`` (defaults to ``edge_mask``) gates the scalarize/
+        vectorize numerators inside the message GCP stack — the reference
+        masks those by node validity but still aggregates every edge's
+        message (gcpnet.py:899-947 with components/__init__.py:294-309)."""
         mp_cfg = self.layer_cfg.mp_cfg
         num_nodes = node_rep.scalar.shape[0]
         s_in, v_in = self.input_dims
@@ -96,6 +102,8 @@ class GCPMessagePassing(nn.Module):
                 )
             )
 
+        fm = frame_mask if frame_mask is not None else edge_mask
+
         def run(module, rep):
             return module(
                 rep,
@@ -103,7 +111,7 @@ class GCPMessagePassing(nn.Module):
                 receivers,
                 frames,
                 node_inputs=False,
-                edge_mask=edge_mask,
+                edge_mask=fm,
                 count_mask=count_mask,
             )
 
