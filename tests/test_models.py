@@ -60,14 +60,18 @@ def make_batch(graphs, extra_graph_keys=()):
 
 def run_model(model, batch, loss_name, rngs=None):
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
-    params = model.init(jax.random.key(0), batch, True)
+    params = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), batch, True
+    )
 
     def loss_of(p):
         out = model.apply(p, batch, True)
         loss, _ = LOSS_REGISTRY[loss_name](out, batch)
         return loss
 
-    loss, grads = jax.value_and_grad(loss_of)(params)
+    # jit: one whole-model compile (persisted by the compilation cache)
+    # instead of minutes of eager per-op dispatch
+    loss, grads = jax.jit(jax.value_and_grad(loss_of))(params)
     gnorm = sum(
         float(jnp.sum(g**2)) for g in jax.tree_util.tree_leaves(grads)
     )
