@@ -27,9 +27,14 @@ REFERENCE_A100_GRAPHS_PER_SEC = 355.0
 NODES_PER_GRAPH = 448
 EDGES_PER_GRAPH = 28 * 448
 GRAPHS_PER_BATCH = 16
-WARMUP_STEPS = 10
-MEASURE_STEPS = 20
-MEASURE_REPEATS = 5  # take the best repeat: tunnel jitter is one-sided
+# Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
+# and the loss is fetched to the host (a hard sync even on remote-tunneled
+# backends where block_until_ready under-reports).  Differencing two loop
+# lengths cancels the per-execution dispatch/transfer overhead, which can
+# reach ~1s through a tunnel.
+K_SMALL = 5
+K_BIG = 25
+MEASURE_REPEATS = 3  # take the best repeat: dispatch jitter is one-sided
 
 # peak bf16 matmul TFLOP/s per chip by device kind (public figures)
 PEAK_BF16_FLOPS = {
@@ -64,6 +69,9 @@ def _cost_flops(step, *args) -> float:
 def main():
     import jax
     import jax.numpy as jnp
+
+    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
 
     from gcpnet_tpu.config.schema import LayerCfg, MPCfg, ModelCfg, ModuleCfg
     from gcpnet_tpu.data.batching import Bucket, collate_shards
@@ -129,20 +137,53 @@ def main():
 
     flops_per_step = _cost_flops(step, trainer.state, dev_batch, key, one)
 
+    local_step = trainer._local_step
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def k_steps(k):
+        def local(state, b):
+            def body(_, st):
+                st, loss, gnorm = local_step(st, b, key, one)
+                return st
+
+            st = jax.lax.fori_loop(0, k, body, state)
+            # run one more step whose loss we return (keeps loss live)
+            st, loss, gnorm = local_step(st, b, key, one)
+            return st, loss
+
+        mapped = shard_map(
+            local,
+            mesh=trainer.mesh,
+            in_specs=(P(), P("dp")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))
+
+    run_small = k_steps(K_SMALL - 1)
+    run_big = k_steps(K_BIG - 1)
+
     state = trainer.state
-    for _ in range(WARMUP_STEPS):
-        state, loss, gnorm = step(state, dev_batch, key, one)
-    jax.block_until_ready(loss)
+    state, loss = run_small(state, dev_batch)
+    float(loss)  # hard sync (compile + warm)
+    state, loss = run_big(state, dev_batch)
+    float(loss)
 
-    best_dt = float("inf")
-    for _ in range(MEASURE_REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            state, loss, gnorm = step(state, dev_batch, key, one)
-        jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    def timed(fn):
+        nonlocal state
+        best = float("inf")
+        for _ in range(MEASURE_REPEATS):
+            t0 = time.perf_counter()
+            state, loss = fn(state, dev_batch)
+            float(loss)  # fetch = hard sync
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    step_time = best_dt / MEASURE_STEPS
+    t_small = timed(run_small)
+    t_big = timed(run_big)
+    step_time = (t_big - t_small) / (K_BIG - K_SMALL)
+    dispatch_overhead = max(t_small - K_SMALL * step_time, 0.0)
     graphs_per_sec = GRAPHS_PER_BATCH / step_time
     peak = _peak_flops(jax.devices()[0])
     achieved = flops_per_step / step_time if flops_per_step else 0.0
@@ -156,6 +197,7 @@ def main():
                     graphs_per_sec / REFERENCE_A100_GRAPHS_PER_SEC, 3
                 ),
                 "ms_per_step": round(step_time * 1e3, 3),
+                "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
                 "flops_per_step": flops_per_step,
                 "achieved_tflops": round(achieved / 1e12, 3),
                 "mfu_vs_bf16_peak": round(achieved / peak, 5),

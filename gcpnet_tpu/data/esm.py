@@ -6,11 +6,15 @@ decoy's sequence on the fly.  Here embeddings are a host preprocessing
 concern with three tiers:
 
   1. a cached ``<sha1(seq)>.npy`` under the embedding cache dir (populated
-     by ``scripts/precompute_esm_embeddings.py`` on a machine with
-     fair-esm),
-  2. live fair-esm if importable,
-  3. a deterministic zero tensor (documented degraded mode for
-     environments without the model weights).
+     by ``scripts/precompute_esm_embeddings.py``),
+  2. the native flax ESM-2 (gcpnet_tpu.nn.esm) when a checkpoint is
+     available — point ``GCPNET_ESM_CHECKPOINT`` at a fair-esm ``.pt``,
+     a converted ``.npz`` (scripts/convert_esm_checkpoint.py), or a HF
+     model directory,
+  3. live fair-esm if importable,
+  4. a deterministic zero tensor (documented degraded mode; set
+     ``GCPNET_REQUIRE_ESM=1`` to make this an error so no reported run
+     silently trains on zero embeddings).
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ ESM_EMBEDDING_DIM = 1280
 
 _esm_model = None
 _esm_alphabet = None
+_jax_esm = None  # (params, cfg) | False once load failed
 _warned = False
 
 
@@ -56,6 +61,31 @@ def _try_live_esm(seq: str) -> Optional[np.ndarray]:
         return None
 
 
+def _try_jax_esm(seq: str) -> Optional[np.ndarray]:
+    """Native flax ESM-2 (gcpnet_tpu.nn.esm) from GCPNET_ESM_CHECKPOINT."""
+    global _jax_esm
+    if _jax_esm is False:
+        return None
+    if _jax_esm is None:
+        ckpt = os.environ.get("GCPNET_ESM_CHECKPOINT")
+        if not ckpt or not os.path.exists(ckpt):
+            _jax_esm = False
+            return None
+        try:
+            from gcpnet_tpu.utils.esm_convert import load_checkpoint
+
+            _jax_esm = load_checkpoint(ckpt)
+            log.info("loaded native ESM-2 checkpoint from %s", ckpt)
+        except Exception as exc:
+            log.warning("failed to load ESM checkpoint %s: %s", ckpt, exc)
+            _jax_esm = False
+            return None
+    from gcpnet_tpu.nn.esm import embed_sequence_jax
+
+    params, cfg = _jax_esm
+    return embed_sequence_jax(params, cfg, seq).astype(np.float32)
+
+
 def embed_sequence(
     seq: str, cache_dir: Optional[str] = None
 ) -> np.ndarray:
@@ -65,17 +95,25 @@ def embed_sequence(
         path = os.path.join(cache_dir, _seq_key(seq) + ".npy")
         if os.path.exists(path):
             return np.load(path)
-    emb = _try_live_esm(seq)
+    emb = _try_jax_esm(seq)
+    if emb is None:
+        emb = _try_live_esm(seq)
     if emb is not None:
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
             np.save(os.path.join(cache_dir, _seq_key(seq) + ".npy"), emb)
         return emb
+    if os.environ.get("GCPNET_REQUIRE_ESM"):
+        raise RuntimeError(
+            "GCPNET_REQUIRE_ESM is set but no ESM embedding source is "
+            "available (no cache hit, no GCPNET_ESM_CHECKPOINT, no fair-esm)"
+        )
     if not _warned:
         log.warning(
-            "fair-esm unavailable and no cached embedding found — using "
-            "zero embeddings (precompute with "
-            "scripts/precompute_esm_embeddings.py for full fidelity)"
+            "no ESM source available — using zero embeddings (set "
+            "GCPNET_ESM_CHECKPOINT to an ESM-2 checkpoint, or precompute "
+            "with scripts/precompute_esm_embeddings.py; set "
+            "GCPNET_REQUIRE_ESM=1 to forbid this degraded mode)"
         )
         _warned = True
     return np.zeros((len(seq), ESM_EMBEDDING_DIM), dtype=np.float32)

@@ -159,7 +159,9 @@ class Trainer:
     # ------------------------------------------------------------------
     def init_state(self, example_batch: GraphBatch) -> TrainState:
         rng = jax.random.key(self.seed)
-        variables = self.model.init(
+        # jit: a single compiled (and persistently cached) init instead of
+        # minutes of eager per-param dispatch on slow hosts
+        variables = jax.jit(self.model.init, static_argnums=(2,))(
             {"params": rng, "dropout": rng}, example_batch, True
         )
         params = variables["params"]

@@ -27,6 +27,8 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 @task_wrapper
 def predict(cfg):
     import jax
+    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
 
     from train import _make_mesh_from_cfg, build_trainer
 

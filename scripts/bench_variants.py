@@ -62,6 +62,8 @@ def build(sort_edges):
 
 def run(name, precision, sort_edges, use_pallas):
     import jax
+    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     import gcpnet_tpu.ops.segment as seg

@@ -25,6 +25,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from bench_variants import build  # noqa: the sibling script

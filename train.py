@@ -29,6 +29,8 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
 def _make_mesh_from_cfg(trainer_cfg):
     import jax
+    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
 
     from gcpnet_tpu.parallel import make_mesh
 
@@ -207,6 +209,8 @@ def main(argv=None):
             # trials: stale jit caches degrade subsequent runs badly on
             # single-chip setups
             import jax
+            from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+            enable_compilation_cache()
 
             jax.clear_caches()
             return metrics.get(cfg.get("optimized_metric", "val/loss"))
@@ -242,6 +246,8 @@ def main(argv=None):
             metrics, _ = train(cfg)
             results.append(metrics)
             import jax
+            from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+            enable_compilation_cache()
 
             jax.clear_caches()
         return results
