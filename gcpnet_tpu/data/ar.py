@@ -310,12 +310,6 @@ class ARDataModule:
         self.backbone_only = subset_to_backbone_atoms_only
         self.batch_size = batch_size
         self.num_shards = num_shards
-        if num_shards > 1:
-            log.warning(
-                "per-residue label globalization currently assumes a "
-                "single shard; falling back to num_shards=1"
-            )
-            self.num_shards = 1
         self.max_nodes_per_batch = max_nodes_per_batch
         self.max_residues_per_batch = max_residues_per_batch
         self.predict_input_dir = predict_input_dir
@@ -431,7 +425,9 @@ class ARDataModule:
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
         ):
-            yield _globalize_ar_residues(batch, self.max_residues_per_batch)
+            yield _globalize_ar_residues(
+                batch, self.max_residues_per_batch, self.num_shards
+            )
 
     def train_batches(self, seed: int = 0):
         return self.batches("train", shuffle=True, seed=seed)
@@ -480,7 +476,10 @@ class ARDataModule:
                 self._predict_meta.append(
                     {"decoy": decoy, "last_window": wi == len(windows) - 1}
                 )
-                yield _globalize_ar_residues(batch, self.max_residues_per_batch)
+                # predict path is always single-shard (one window at a time)
+                yield _globalize_ar_residues(
+                    batch, self.max_residues_per_batch, num_shards=1
+                )
 
     def record_predictions(self, batch, preds, output_dir, decoy=None):
         """Accumulate per-window predictions and write one stitched refined
@@ -543,38 +542,57 @@ class ARDataModule:
         return rows
 
 
-def _globalize_ar_residues(batch: GraphBatch, max_residues: int) -> GraphBatch:
-    """Host-side batch-local -> global residue indices and a padded global
-    per-residue ``ca_x`` table (the reference does the Ca-offset loop on
-    device, gcpnet_ar_module.py:163-175)."""
+def _globalize_ar_residues(
+    batch: GraphBatch, max_residues: int, num_shards: int = 1
+) -> GraphBatch:
+    """Host-side batch-local -> shard-global residue indices and a padded
+    per-shard ``ca_x`` table (the reference does the Ca-offset loop on
+    device, gcpnet_ar_module.py:163-175).  With ``num_shards > 1`` each
+    shard's block is self-contained so shard_map's P('dp') split works."""
     res_idx = np.asarray(batch.extras["atom_residue_idx"]).copy()
     graph_id = np.asarray(batch.graph_id)
     node_mask = np.asarray(batch.node_pad_mask)
     ca_local = np.asarray(batch.extras["ca_x_local"])
 
-    new_res_idx = np.zeros_like(res_idx)
-    offset = 0
-    ptr = 0
-    ca_rows = []
-    for g in np.unique(graph_id[node_mask]):
-        rows = node_mask & (graph_id == g)
-        local = res_idx[rows]
-        n_res = int(local.max()) + 1 if rows.any() else 0
-        new_res_idx[rows] = local + offset
-        ca_rows.append(ca_local[ptr : ptr + n_res])
-        ptr += n_res
-        offset += n_res
+    n_per_shard = res_idx.shape[0] // num_shards
+    c_per_shard = ca_local.shape[0] // num_shards
 
-    ca = (
-        np.concatenate(ca_rows)
-        if ca_rows
-        else np.zeros((0, 3), np.float32)
-    )
-    pad = max(max_residues - ca.shape[0], 0)
+    new_res_idx = np.zeros_like(res_idx)
+    shard_tables = []
+    for s in range(num_shards):
+        rows_s = slice(s * n_per_shard, (s + 1) * n_per_shard)
+        gid = graph_id[rows_s]
+        mask_s = node_mask[rows_s]
+        ridx = res_idx[rows_s]
+        ca_s = ca_local[s * c_per_shard : (s + 1) * c_per_shard]
+
+        new_local = np.zeros_like(ridx)
+        offset = 0
+        ptr = 0
+        ca_rows = []
+        for g in np.unique(gid[mask_s]):
+            rows = mask_s & (gid == g)
+            local = ridx[rows]
+            n_res = int(local.max()) + 1 if rows.any() else 0
+            new_local[rows] = local + offset
+            ca_rows.append(ca_s[ptr : ptr + n_res])
+            ptr += n_res
+            offset += n_res
+        new_res_idx[rows_s] = new_local
+
+        ca = (
+            np.concatenate(ca_rows) if ca_rows else np.zeros((0, 3), np.float32)
+        )
+        if ca.shape[0] > max_residues:
+            raise ValueError(
+                f"shard {s} holds {ca.shape[0]} residues > budget "
+                f"{max_residues} (raise max_residues_per_batch)"
+            )
+        pad = max_residues - ca.shape[0]
+        shard_tables.append(np.pad(ca, ((0, pad), (0, 0))).astype(np.float32))
+
     extras = dict(batch.extras)
     extras["atom_residue_idx"] = new_res_idx
-    extras["ca_x"] = np.pad(ca, ((0, pad), (0, 0))).astype(np.float32)[
-        :max_residues
-    ]
+    extras["ca_x"] = np.concatenate(shard_tables)
     extras.pop("ca_x_local", None)
     return batch.replace(extras=extras)

@@ -211,12 +211,6 @@ class EQDataModule:
         self.subset_to_ca = subset_to_ca_atoms_only
         self.batch_size = batch_size
         self.num_shards = num_shards
-        if num_shards > 1:
-            log.warning(
-                "per-residue label globalization currently assumes a "
-                "single shard; falling back to num_shards=1"
-            )
-            self.num_shards = 1
         self.max_nodes_per_batch = max_nodes_per_batch
         self.max_residues_per_batch = max_residues_per_batch
         self.predict_input_dir = predict_input_dir
@@ -319,7 +313,9 @@ class EQDataModule:
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
         ):
-            yield _globalize_residues(batch, self.max_residues_per_batch)
+            yield _globalize_residues(
+                batch, self.max_residues_per_batch, self.num_shards
+            )
 
     def train_batches(self, seed: int = 0):
         return self.batches("train", shuffle=True, seed=seed)
@@ -405,38 +401,70 @@ class EQDataModule:
         return rows
 
 
-def _globalize_residues(batch: GraphBatch, max_residues: int) -> GraphBatch:
-    """Convert per-graph residue indices to batch-global ones and pad the
-    per-residue label/mask arrays to a static size (the reference converts
-    on device, gcpnet_eq_module.py:178-183; we do it on host)."""
+def _globalize_residues(
+    batch: GraphBatch, max_residues: int, num_shards: int = 1
+) -> GraphBatch:
+    """Convert per-graph residue indices to shard-global ones and pad the
+    per-residue label/mask arrays to a static per-shard size (the reference
+    converts on device, gcpnet_eq_module.py:178-183; we do it on host).
+
+    With ``num_shards > 1`` (collate_shards layout: shard sub-batches
+    concatenated along axis 0 with shard-local node/graph indices), residue
+    indices are made *shard-local* and each shard's label/mask block is
+    padded to ``max_residues`` — under ``shard_map`` with P('dp') every
+    device then sees a self-contained [max_residues] slice."""
     res_idx = np.asarray(batch.extras["atom_residue_idx"]).copy()
     graph_id = np.asarray(batch.graph_id)
     node_mask = np.asarray(batch.node_pad_mask)
     labels = np.asarray(batch.extras["label"])
     res_masks = np.asarray(batch.extras["res_mask"])
 
-    # labels/res_mask were concatenated per graph by batch_graphs; residue
-    # indices restart per graph.  Offset them by the running residue count.
+    n_per_shard = res_idx.shape[0] // num_shards
+    l_per_shard = labels.shape[0] // num_shards
+
     new_res_idx = np.zeros_like(res_idx)
-    offset = 0
     out_labels = []
     out_masks = []
-    label_ptr = 0
-    for g in np.unique(graph_id[node_mask]):
-        rows = node_mask & (graph_id == g)
-        local = res_idx[rows]
-        n_res = int(local.max()) + 1 if rows.any() else 0
-        new_res_idx[rows] = local + offset
-        out_labels.append(labels[label_ptr : label_ptr + n_res])
-        out_masks.append(res_masks[label_ptr : label_ptr + n_res])
-        label_ptr += n_res
-        offset += n_res
+    for s in range(num_shards):
+        rows_s = slice(s * n_per_shard, (s + 1) * n_per_shard)
+        gid = graph_id[rows_s]
+        mask_s = node_mask[rows_s]
+        ridx = res_idx[rows_s]
+        lab_s = labels[s * l_per_shard : (s + 1) * l_per_shard]
+        rm_s = res_masks[s * l_per_shard : (s + 1) * l_per_shard]
 
-    lab = np.concatenate(out_labels) if out_labels else np.zeros(0)
-    msk = np.concatenate(out_masks) if out_masks else np.zeros(0)
-    pad = max(max_residues - lab.shape[0], 0)
+        # labels/res_mask were concatenated per graph by batch_graphs;
+        # residue indices restart per graph — offset by the shard-local
+        # running residue count.
+        new_local = np.zeros_like(ridx)
+        offset = 0
+        label_ptr = 0
+        shard_labels = []
+        shard_masks = []
+        for g in np.unique(gid[mask_s]):
+            rows = mask_s & (gid == g)
+            local = ridx[rows]
+            n_res = int(local.max()) + 1 if rows.any() else 0
+            new_local[rows] = local + offset
+            shard_labels.append(lab_s[label_ptr : label_ptr + n_res])
+            shard_masks.append(rm_s[label_ptr : label_ptr + n_res])
+            label_ptr += n_res
+            offset += n_res
+        new_res_idx[rows_s] = new_local
+
+        lab = np.concatenate(shard_labels) if shard_labels else np.zeros(0)
+        msk = np.concatenate(shard_masks) if shard_masks else np.zeros(0)
+        if lab.shape[0] > max_residues:
+            raise ValueError(
+                f"shard {s} holds {lab.shape[0]} residues > budget "
+                f"{max_residues} (raise max_residues_per_batch)"
+            )
+        pad = max_residues - lab.shape[0]
+        out_labels.append(np.pad(lab, (0, pad)).astype(np.float32))
+        out_masks.append(np.pad(msk, (0, pad)).astype(np.float32))
+
     extras = dict(batch.extras)
     extras["atom_residue_idx"] = new_res_idx
-    extras["label"] = np.pad(lab, (0, pad)).astype(np.float32)[:max_residues]
-    extras["res_mask"] = np.pad(msk, (0, pad)).astype(np.float32)[:max_residues]
+    extras["label"] = np.concatenate(out_labels)
+    extras["res_mask"] = np.concatenate(out_masks)
     return batch.replace(extras=extras)
