@@ -49,27 +49,14 @@ def _one_hot(value, options) -> List[float]:
     return out
 
 
-def rdkit_mol_to_graph(
-    mol, d_max: float = 4.5, num_rbf: int = 16, stereo_mask: bool = True,
-    label: Optional[float] = None,
-) -> GraphData:
-    """Faithful reference featurization; requires rdkit."""
-    import rdkit
+def mol_to_record(mol) -> dict:
+    """Extract a plain-dict record from an RDKit conformer (the only
+    rdkit-touching step).  Records are picklable without rdkit, enabling the
+    offline conversion path (scripts/convert_rs_pickles.py)."""
     from rdkit import Chem
 
     conformer = mol.GetConformer()
     x = np.asarray(conformer.GetPositions(), dtype=np.float32)
-
-    adj = Chem.GetAdjacencyMatrix(mol)
-    ij = np.array(np.nonzero(np.triu(adj)), dtype=int)
-    senders = np.concatenate([ij[0], ij[1]]).astype(np.int32)
-    receivers = np.concatenate([ij[1], ij[0]]).astype(np.int32)
-    # interleave directions as the reference does: (u,v),(v,u) per bond
-    order = np.argsort(np.repeat(np.arange(ij.shape[1]), 2), kind="stable")
-    inter = np.empty(senders.shape[0], dtype=np.int64)
-    inter[0::2] = np.arange(ij.shape[1])
-    inter[1::2] = np.arange(ij.shape[1]) + ij.shape[1]
-    senders, receivers = senders[inter], receivers[inter]
 
     global_tags = dict(
         Chem.FindMolChiralCenters(
@@ -77,35 +64,89 @@ def rdkit_mol_to_graph(
             useLegacyImplementation=False,
         )
     )
-    node_feats = []
+    atoms = []
     for atom in mol.GetAtoms():
-        f = _one_hot(atom.GetSymbol(), ATOM_TYPES_RS)
-        f += _one_hot(atom.GetTotalDegree(), DEGREES)
-        f += _one_hot(atom.GetFormalCharge(), FORMAL_CHARGES)
-        f += _one_hot(atom.GetTotalNumHs(), NUM_HS)
-        f += _one_hot(str(atom.GetHybridization()), HYBRIDIZATIONS)
-        f += [float(atom.GetIsAromatic()), atom.GetMass() * 0.01]
-        tag = global_tags.get(atom.GetIdx())
+        atoms.append(
+            dict(
+                symbol=atom.GetSymbol(),
+                degree=atom.GetTotalDegree(),
+                charge=atom.GetFormalCharge(),
+                num_hs=atom.GetTotalNumHs(),
+                hybridization=str(atom.GetHybridization()),
+                aromatic=bool(atom.GetIsAromatic()),
+                mass=float(atom.GetMass()),
+                global_tag=global_tags.get(atom.GetIdx()),
+                chiral_tag=int(atom.GetChiralTag()),
+            )
+        )
+    bonds = []
+    for bond in mol.GetBonds():
+        bonds.append(
+            dict(
+                i=bond.GetBeginAtomIdx(),
+                j=bond.GetEndAtomIdx(),
+                type=str(bond.GetBondType()),
+                conjugated=bool(bond.GetIsConjugated()),
+                in_ring=bool(bond.IsInRing()),
+                stereo=int(bond.GetStereo()),
+            )
+        )
+    return {"coords": x, "atoms": atoms, "bonds": bonds}
+
+
+def record_to_graph(
+    record: dict, d_max: float = 4.5, num_rbf: int = 16,
+    stereo_mask: bool = True, label: Optional[float] = None,
+) -> GraphData:
+    """rdkit-free featurization from a :func:`mol_to_record` record."""
+    x = np.asarray(record["coords"], dtype=np.float32)
+    bonds = sorted(
+        ((min(b["i"], b["j"]), max(b["i"], b["j"]), b) for b in record["bonds"])
+    )
+    senders_l, receivers_l, edge_feats = [], [], []
+    for i, j, b in bonds:
+        f = _one_hot(b["type"], BOND_TYPES)
+        f += [float(b["conjugated"]), float(b["in_ring"])]
+        f += _one_hot(int(b["stereo"]), list(range(6)))
+        # interleave directions as the reference does: (u,v),(v,u) per bond
+        senders_l += [i, j]
+        receivers_l += [j, i]
+        edge_feats += [f, f]
+    senders = np.asarray(senders_l, dtype=np.int32)
+    receivers = np.asarray(receivers_l, dtype=np.int32)
+    bond_feats = np.asarray(edge_feats, dtype=np.float32).reshape(
+        -1, EDGE_FEATURE_DIM
+    )
+
+    node_feats = []
+    for atom in record["atoms"]:
+        f = _one_hot(atom["symbol"], ATOM_TYPES_RS)
+        f += _one_hot(atom["degree"], DEGREES)
+        f += _one_hot(atom["charge"], FORMAL_CHARGES)
+        f += _one_hot(atom["num_hs"], NUM_HS)
+        f += _one_hot(atom["hybridization"], HYBRIDIZATIONS)
+        f += [float(atom["aromatic"]), atom["mass"] * 0.01]
+        tag = atom["global_tag"]
         gtag = 1 if tag == "R" else 2 if tag == "S" else -1 if tag else 0
         f += _one_hot(gtag, [0, 1, 2])
-        local = int(atom.GetChiralTag())
-        f += _one_hot(local, [0, 1, 2, 3])
+        f += _one_hot(int(atom["chiral_tag"]), [0, 1, 2, 3])
         node_feats.append(f)
     h = np.asarray(node_feats, dtype=np.float32)
-
-    edge_feats = []
-    for e in range(0, senders.shape[0], 2):
-        bond = mol.GetBondBetweenAtoms(int(senders[e]), int(receivers[e]))
-        f = _one_hot(str(bond.GetBondType()), BOND_TYPES)
-        f += [float(bond.GetIsConjugated()), float(bond.IsInRing())]
-        f += _one_hot(int(bond.GetStereo()), list(range(6)))
-        edge_feats.append(f)
-        edge_feats.append(f)
-    bond_feats = np.asarray(edge_feats, dtype=np.float32)
 
     return _assemble_rs_graph(
         x, h, bond_feats, senders, receivers, d_max, num_rbf, stereo_mask,
         label,
+    )
+
+
+def rdkit_mol_to_graph(
+    mol, d_max: float = 4.5, num_rbf: int = 16, stereo_mask: bool = True,
+    label: Optional[float] = None,
+) -> GraphData:
+    """Faithful reference featurization; requires rdkit."""
+    return record_to_graph(
+        mol_to_record(mol), d_max=d_max, num_rbf=num_rbf,
+        stereo_mask=stereo_mask, label=label,
     )
 
 
@@ -213,53 +254,166 @@ def synthetic_chiral_molecule(
     return build(coords, label_r), build(mirrored, 1.0 - label_r)
 
 
-# --- enantiomer-paired samplers -------------------------------------------
+# --- enantiomer-paired samplers (reference rs_dataset.py:224-332) ----------
+
+class SampleMapToPositives:
+    """index -> conformers of the SAME stereoisomer (equal ``ID``).
+
+    The reference builds this over a +/-50-row window of the
+    SMILES_nostereo-sorted dataframe (an optimization, exact for sorted
+    data); here the mapping is computed exactly over the full column."""
+
+    def __init__(self, ids: List, include_anchor: bool = False):
+        by_id: dict = {}
+        for i, mol_id in enumerate(ids):
+            by_id.setdefault(mol_id, set()).add(i)
+        self.mapping = {}
+        for i, mol_id in enumerate(ids):
+            group = by_id[mol_id] if include_anchor else by_id[mol_id] - {i}
+            self.mapping[i] = group
+
+    def sample(self, i, rng, N=1, without_replacement=True):
+        pool = sorted(self.mapping[i])
+        if not pool:
+            return []
+        if without_replacement:
+            take = min(N, len(pool))
+            return [int(j) for j in rng.choice(pool, take, replace=False)]
+        return [int(rng.choice(pool)) for _ in range(N)]
+
+
+class SampleMapToNegatives:
+    """index -> conformers of OTHER stereoisomers of the same molecule
+    (equal ``SMILES_nostereo``, different ``ID``), grouped per negative
+    stereoisomer for stratified sampling."""
+
+    def __init__(self, ids: List, smiles_nostereo: List):
+        by_smiles: dict = {}
+        for i, (mol_id, sm) in enumerate(zip(ids, smiles_nostereo)):
+            by_smiles.setdefault(sm, {}).setdefault(mol_id, set()).add(i)
+        self.mapping = {}
+        for i, (mol_id, sm) in enumerate(zip(ids, smiles_nostereo)):
+            self.mapping[i] = [
+                sorted(members)
+                for other, members in by_smiles[sm].items()
+                if other != mol_id
+            ]
+
+    def sample(self, i, rng, N=1, without_replacement=True, stratified=True):
+        classes = self.mapping[i]
+        if not classes:
+            return []
+        if stratified:
+            out = []
+            for pool in classes:
+                if without_replacement:
+                    take = min(N, len(pool))
+                    out += [int(j) for j in rng.choice(pool, take, replace=False)]
+                else:
+                    out += [int(rng.choice(pool)) for _ in range(N)]
+            return out
+        population = [j for pool in classes for j in pool]
+        if without_replacement:
+            take = min(N, len(population))
+            return [int(j) for j in rng.choice(population, take, replace=False)]
+        return [int(rng.choice(population)) for _ in range(N)]
+
 
 class SingleConformerBatchSampler:
-    """Pairs each anchor molecule with ``num_neg`` opposite enantiomers
-    (reference rs_dataset.py:224-332, simplified to the stereoisomer
-    iteration mode the RS experiments use)."""
+    """Anchor (one conformer per stereoisomer) + ``num_pos`` extra
+    conformers of the same stereoisomer + ``num_neg`` conformers of each
+    opposite stereoisomer per batch group (reference rs_dataset.py:284-316;
+    the anchor is included via SampleMapToPositives(include_anchor=True))."""
 
     def __init__(
         self,
-        groups: List[List[int]],
-        labels: np.ndarray,
+        single_conformer_indices: List[int],
+        ids: List,
+        smiles_nostereo: List,
+        batch_size: int,
+        num_pos: int = 0,
+        num_neg: int = 1,
+        seed: int = 0,
+        without_replacement: bool = True,
+        stratified: bool = True,
+    ):
+        self.anchors = list(single_conformer_indices)
+        self.positive_sampler = SampleMapToPositives(ids, include_anchor=True)
+        self.negative_sampler = SampleMapToNegatives(ids, smiles_nostereo)
+        self.batch_size = batch_size
+        self.num_pos = num_pos
+        self.num_neg = num_neg
+        self.seed = seed
+        self.without_replacement = without_replacement
+        self.stratified = stratified
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        groups = [
+            [
+                *self.positive_sampler.sample(
+                    i, rng, N=1 + self.num_pos,
+                    without_replacement=self.without_replacement,
+                ),
+                *self.negative_sampler.sample(
+                    i, rng, N=self.num_neg,
+                    without_replacement=self.without_replacement,
+                    stratified=self.stratified,
+                ),
+            ]
+            for i in self.anchors
+        ]
+        rng.shuffle(groups)
+        for b in range(len(groups) // self.batch_size):
+            chunk = groups[b * self.batch_size : (b + 1) * self.batch_size]
+            yield [i for grp in chunk for i in grp]
+
+    def __len__(self):
+        return len(self.anchors) // self.batch_size
+
+
+class NegativeBatchSampler:
+    """Every conformer as anchor + ``num_neg`` stratified negatives
+    (reference rs_dataset.py:319-332)."""
+
+    def __init__(
+        self,
+        ids: List,
+        smiles_nostereo: List,
         batch_size: int,
         num_neg: int = 1,
         seed: int = 0,
         without_replacement: bool = True,
+        stratified: bool = True,
     ):
-        self.groups = groups  # indices grouped by SMILES_nostereo
-        self.labels = labels
+        self.n = len(ids)
+        self.negative_sampler = SampleMapToNegatives(ids, smiles_nostereo)
         self.batch_size = batch_size
         self.num_neg = num_neg
         self.seed = seed
         self.without_replacement = without_replacement
+        self.stratified = stratified
 
     def __iter__(self):
         rng = np.random.default_rng(self.seed)
-        order = rng.permutation(len(self.groups))
-        batch: List[int] = []
-        for gi in order:
-            group = self.groups[gi]
-            if not group:
-                continue
-            anchor = int(rng.choice(group))
-            batch.append(anchor)
-            negs = [
-                i for i in group if self.labels[i] != self.labels[anchor]
+        groups = [
+            [
+                i,
+                *self.negative_sampler.sample(
+                    i, rng, N=self.num_neg,
+                    without_replacement=self.without_replacement,
+                    stratified=self.stratified,
+                ),
             ]
-            if negs:
-                take = min(self.num_neg, len(negs))
-                batch.extend(
-                    int(i)
-                    for i in rng.choice(negs, size=take, replace=False)
-                )
-            if len(batch) >= self.batch_size:
-                yield batch[: self.batch_size]
-                batch = []
-        if batch:
-            yield batch
+            for i in range(self.n)
+        ]
+        rng.shuffle(groups)
+        for b in range(len(groups) // self.batch_size):
+            chunk = groups[b * self.batch_size : (b + 1) * self.batch_size]
+            yield [i for grp in chunk for i in grp]
+
+    def __len__(self):
+        return self.n // self.batch_size
 
 
 class RSDataModule:
@@ -288,8 +442,11 @@ class RSDataModule:
             "test": test_data_filepath,
         }
         self.seed = seed
+        self.iteration_mode = iteration_mode
+        self.sample_1_conformer = sample_1_conformer
         self.stereo_mask = stereo_mask
         self.mask_coordinates = mask_coordinates
+        self.num_pos = num_pos
         self.num_neg = num_neg
         self.d_max = d_max
         self.num_rbf = num_rbf
@@ -300,12 +457,17 @@ class RSDataModule:
         }
         self.max_nodes_per_graph = max_nodes_per_graph
         self.graphs: dict = {}
-        self.groups: dict = {}
+        self.meta: dict = {}
 
     def prepare_data(self):
         pass
 
     def _load_pickle_split(self, split: str) -> bool:
+        """Load the reference's pickled dataframe format: columns ``ID``
+        (stereoisomer id), ``SMILES_nostereo`` (stereo-stripped molecule
+        key), ``RS_label_binary``, and either ``rdkit_mol_cistrans_stereo``
+        (RDKit mols; needs rdkit) or ``record`` (rdkit-free dicts produced
+        offline by scripts/convert_rs_pickles.py)."""
         path = self.paths.get(split)
         if not path or not os.path.exists(path):
             return False
@@ -316,42 +478,63 @@ class RSDataModule:
         except Exception as exc:
             log.warning(f"cannot load {path} ({exc}); using synthetic RS data")
             return False
-        graphs, labels, groups = [], [], {}
+        graphs, labels, ids, smiles = [], [], [], []
         for _, row in df.iterrows():
+            label = float(row["RS_label_binary"])
             try:
-                g = rdkit_mol_to_graph(
-                    row["rdkit_mol_cistrans_stereo"],
-                    d_max=self.d_max,
-                    num_rbf=self.num_rbf,
-                    stereo_mask=self.stereo_mask,
-                    label=float(row["RS_label_binary"]),
-                )
-            except Exception:
+                if "record" in row and row["record"] is not None:
+                    g = record_to_graph(
+                        row["record"], d_max=self.d_max, num_rbf=self.num_rbf,
+                        stereo_mask=self.stereo_mask, label=label,
+                    )
+                else:
+                    g = rdkit_mol_to_graph(
+                        row["rdkit_mol_cistrans_stereo"],
+                        d_max=self.d_max, num_rbf=self.num_rbf,
+                        stereo_mask=self.stereo_mask, label=label,
+                    )
+            except Exception as exc:
+                log.warning(f"skipping RS row ({exc})")
                 continue
-            groups.setdefault(row.get("SMILES_nostereo", len(graphs)), []).append(
-                len(graphs)
-            )
-            labels.append(float(row["RS_label_binary"]))
+            ids.append(row["ID"])
+            smiles.append(row.get("SMILES_nostereo", row["ID"]))
+            labels.append(label)
             graphs.append(g)
         self.graphs[split] = graphs
-        self.groups[split] = (list(groups.values()), np.asarray(labels))
+        self._set_meta(split, ids, smiles, np.asarray(labels))
         return True
+
+    def _set_meta(self, split, ids, smiles, labels):
+        seen = set()
+        single_idx = []
+        for i, mol_id in enumerate(ids):
+            if mol_id not in seen:
+                seen.add(mol_id)
+                single_idx.append(i)
+        self.meta[split] = {
+            "ids": ids,
+            "smiles": smiles,
+            "labels": labels,
+            "single_idx": single_idx,
+        }
 
     def _make_synthetic_split(self, split: str):
         split_offset = {"train": 0, "valid": 1, "test": 2}.get(split, 3)
         rng = np.random.default_rng(self.seed + split_offset)
         n_pairs = self.synthetic_sizes[split] // 2
-        graphs, labels, groups = [], [], []
-        for _ in range(n_pairs):
+        graphs, labels, ids, smiles = [], [], [], []
+        for p in range(n_pairs):
             g_r, g_s = synthetic_chiral_molecule(
                 rng, stereo_mask=self.stereo_mask,
                 d_max=self.d_max, num_rbf=self.num_rbf,
             )
-            groups.append([len(graphs), len(graphs) + 1])
-            labels += [float(g_r.extras["label"]), float(g_s.extras["label"])]
-            graphs += [g_r, g_s]
+            for g, tag in ((g_r, "R"), (g_s, "S")):
+                ids.append(f"{split}-mol{p}-{tag}")
+                smiles.append(f"{split}-mol{p}")
+                labels.append(float(g.extras["label"]))
+                graphs.append(g)
         self.graphs[split] = graphs
-        self.groups[split] = (groups, np.asarray(labels))
+        self._set_meta(split, ids, smiles, np.asarray(labels))
 
     def setup(self, stage: Optional[str] = None):
         for split in ("train", "valid", "test"):
@@ -363,9 +546,14 @@ class RSDataModule:
         )
 
     def _bucket(self) -> Bucket:
-        n = self.max_nodes_per_graph * self.batch_size
+        # reference semantics: batch_size counts *anchors*; each group adds
+        # 1 + num_pos positives and num_neg negatives per opposite
+        # stereoisomer (rs_dataset.py:284-316)
+        group = 1 + self.num_pos + self.num_neg
+        n = self.max_nodes_per_graph * self.batch_size * group
         return Bucket(
-            num_nodes=n, num_edges=2 * n, num_graphs=self.batch_size
+            num_nodes=n, num_edges=2 * n,
+            num_graphs=self.batch_size * group,
         )
 
     def batches(
@@ -373,11 +561,18 @@ class RSDataModule:
     ) -> Iterator[GraphBatch]:
         graphs = self.graphs[split]
         if paired:
-            groups, labels = self.groups[split]
-            sampler = SingleConformerBatchSampler(
-                groups, labels, self.batch_size, num_neg=self.num_neg,
-                seed=seed,
-            )
+            meta = self.meta[split]
+            if self.iteration_mode == "conformers":
+                sampler = NegativeBatchSampler(
+                    meta["ids"], meta["smiles"], self.batch_size,
+                    num_neg=self.num_neg, seed=seed,
+                )
+            else:  # "stereoisomers" (the RS experiments' mode)
+                sampler = SingleConformerBatchSampler(
+                    meta["single_idx"], meta["ids"], meta["smiles"],
+                    self.batch_size, num_pos=self.num_pos,
+                    num_neg=self.num_neg, seed=seed,
+                )
             def ordered():
                 for batch_idx in sampler:
                     for i in batch_idx:

@@ -249,7 +249,7 @@ class GCPNetCPD(nn.Module):
                         jnp.where(m, out_s, cache_s[j + 1])
                     )
                     cache_v = cache_v.at[j + 1].set(
-                        jnp.where(m[..., None], out_v, cache_v[j + 1])
+                        jnp.where(m, out_v, cache_v[j + 1])
                     )
 
             # reference projects with the step's node mask, which restricts

@@ -5,6 +5,11 @@ from gcpnet_tpu.nn.primitives import (
     get_nonlinearity,
     GCPLayerNorm,
     GCPDropout,
+    pack_vector,
+    safe_vec_norm,
+    unpack_vector,
+    vec_at,
+    vec_components,
 )
 from gcpnet_tpu.nn.frames import (
     centralize,
@@ -21,6 +26,11 @@ from gcpnet_tpu.nn.decoder import GCPMLPDecoder
 
 __all__ = [
     "ScalarVector",
+    "pack_vector",
+    "unpack_vector",
+    "vec_at",
+    "vec_components",
+    "safe_vec_norm",
     "safe_norm",
     "norm_no_nan",
     "get_nonlinearity",

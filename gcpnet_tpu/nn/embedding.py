@@ -17,7 +17,7 @@ from flax import linen as nn
 from gcpnet_tpu.config.schema import ModuleCfg
 from gcpnet_tpu.graph import GraphBatch
 from gcpnet_tpu.nn.gcp import make_gcp
-from gcpnet_tpu.nn.primitives import GCPLayerNorm, ScalarVector
+from gcpnet_tpu.nn.primitives import GCPLayerNorm, ScalarVector, pack_vector
 
 Array = jax.Array
 
@@ -50,7 +50,8 @@ class GCPEmbedding(nn.Module):
             h = atom_embed(batch.h.astype(jnp.int32))
         else:
             h = batch.h
-        node_rep = ScalarVector(h, batch.chi)
+        chi_p = pack_vector(batch.chi)
+        node_rep = ScalarVector(h, chi_p)
 
         if self.cfg.concatenate_lig_flag:
             lig_embed = nn.Embed(
@@ -58,14 +59,14 @@ class GCPEmbedding(nn.Module):
             )
             lig = lig_embed(batch.extras["lig_flag"].astype(jnp.int32))
             node_rep = ScalarVector(
-                jnp.concatenate([node_rep.scalar, lig], axis=-1), batch.chi
+                jnp.concatenate([node_rep.scalar, lig], axis=-1), chi_p
             )
             node_input_dims = (
                 node_input_dims[0] + self.num_lig_flags,
                 node_input_dims[1],
             )
 
-        edge_rep = ScalarVector(batch.e, batch.xi)
+        edge_rep = ScalarVector(batch.e, pack_vector(batch.xi))
 
         edge_sv = self.edge_input_dims[1] > 0
         node_sv = node_input_dims[1] > 0
@@ -130,10 +131,10 @@ class GCPEmbedding(nn.Module):
 
         if not isinstance(edge_out, ScalarVector):
             edge_out = ScalarVector(
-                edge_out, jnp.zeros(edge_out.shape[:-1] + (0, 3), edge_out.dtype)
+                edge_out, jnp.zeros(edge_out.shape[:-1] + (0,), edge_out.dtype)
             )
         if not isinstance(node_out, ScalarVector):
             node_out = ScalarVector(
-                node_out, jnp.zeros(node_out.shape[:-1] + (0, 3), node_out.dtype)
+                node_out, jnp.zeros(node_out.shape[:-1] + (0,), node_out.dtype)
             )
         return node_out, edge_out

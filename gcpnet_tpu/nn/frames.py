@@ -4,8 +4,14 @@ invariant scalars.
 
 Re-design of /root/reference/src/models/components/__init__.py:170-378 for
 static padded graphs: masked entries are represented by zeros + explicit
-masks (never the reference's ``inf`` sentinels, which poison XLA autodiff),
-and all projections are batched einsums that XLA fuses onto the MXU/VPU.
+masks (never the reference's ``inf`` sentinels, which poison XLA autodiff).
+
+TPU layouts: frames are PACKED as ``[E, 9]`` (row-major: ``[f0x f0y f0z
+f1x ...]``) and vector features as ``[*, 3c]`` axis-major blocks (see
+gcpnet_tpu.nn.primitives).  The projections are expressed as elementwise
+multiply-adds over the 9 frame columns — NOT batched 3x3 dots, which
+XLA lowers to lane-padded [E,3,3] MXU ops with ~40x HBM inflation and
+layout copies (measured dominating the LBA step profile).
 
 Mean-reduction parity note: when the reference applies a node mask it zeroes
 masked edge rows but still counts them in torch_scatter's mean denominator
@@ -21,6 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from gcpnet_tpu.nn.primitives import vec_components, vec_from_components
 from gcpnet_tpu.ops.segment import segment_mean
 
 Array = jax.Array
@@ -66,12 +73,12 @@ def localize(
     norm_x_diff: bool = True,
     edge_mask: Optional[Array] = None,
 ) -> Array:
-    """Edge-wise local frames ``f_ij [E, 3, 3]``.
+    """Edge-wise local frames, PACKED ``f_ij [E, 9]``.
 
-    Rows are ``x_diff = x_i - x_j``, ``x_cross = x_i × x_j`` and
-    ``x_vertical = x_diff × x_cross``; the first two optionally normalized by
-    ``(‖·‖ + 1)`` (reference components/__init__.py:220-269).  Masked edges
-    produce zero frames.
+    Rows of the logical 3x3 frame are ``x_diff = x_i - x_j``,
+    ``x_cross = x_i × x_j`` and ``x_vertical = x_diff × x_cross``; the first
+    two optionally normalized by ``(‖·‖ + 1)`` (reference
+    components/__init__.py:220-269).  Masked edges produce zero frames.
     """
     xi, xj = x[senders], x[receivers]
     x_diff = xi - xj
@@ -82,10 +89,24 @@ def localize(
         x_cross = x_cross / (jnp.linalg.norm(x_cross, axis=-1, keepdims=True) + 1.0)
 
     x_vertical = jnp.cross(x_diff, x_cross)
-    f_ij = jnp.stack([x_diff, x_cross, x_vertical], axis=-2)
+    f_ij = jnp.concatenate([x_diff, x_cross, x_vertical], axis=-1)  # [E, 9]
     if edge_mask is not None:
-        f_ij = f_ij * edge_mask[:, None, None].astype(f_ij.dtype)
+        f_ij = f_ij * edge_mask[:, None].astype(f_ij.dtype)
     return f_ij
+
+
+def frames_to_matrix(f_ij: Array) -> Array:
+    """Packed [E, 9] -> logical [E, 3, 3] (rows = frame vectors)."""
+    return f_ij.reshape(*f_ij.shape[:-1], 3, 3)
+
+
+def matrix_to_frames(m: Array) -> Array:
+    return m.reshape(*m.shape[:-2], 9)
+
+
+def frame_rows(f_ij: Array):
+    """The three frame vectors as ``[E, 3]`` arrays."""
+    return f_ij[..., 0:3], f_ij[..., 3:6], f_ij[..., 6:9]
 
 
 def scalarize(
@@ -99,35 +120,47 @@ def scalarize(
     edge_mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
 ) -> Array:
-    """Project 3-channel vector features onto edge-local frames, yielding 9
-    invariant scalars per entity (reference components/__init__.py:272-325).
+    """Project 3-channel packed vector features onto edge-local frames,
+    yielding 9 invariant scalars per entity
+    (reference components/__init__.py:272-325).
 
     Args:
-      vector_rep: ``[N, 3, 3]`` (node inputs) or ``[E, 3, 3]`` (edge inputs),
-        channels-first layout ``[..., channel, xyz]``.
-      frames: ``[E, 3, 3]`` local frames, rows ``[frame_vec, xyz]``.
+      vector_rep: PACKED ``[N, 9]`` (node inputs) or ``[E, 9]`` (edge
+        inputs) — 3 channels x xyz blocks.
+      frames: PACKED ``[E, 9]`` local frames.
       node_inputs: if True, gather by ``senders`` and scatter-mean the 9
-        scalars back to source nodes (the frames are directional, so source
-        aggregation is used, reference :314-323).
+        scalars back to source nodes (reference :314-323).
       enable_e3_equivariance: take ``abs`` of the x_cross projection,
         removing chirality sensitivity (reference :305-309).
       edge_mask: numerator mask over edges (padding and/or node-mask).
       count_mask: denominator mask for the node-input mean; defaults to
-        ``edge_mask``.  Pass the padding-only mask to reproduce the
-        reference's masked-scalarize denominator.
+        ``edge_mask``.
 
-    Returns ``[N, 9]`` (node inputs) or ``[E, 9]`` (edge inputs), ordered
-    channel-major: ``(c0·f0, c0·f1, c0·f2, c1·f0, ...)``.
+    Returns ``[N, 9]`` / ``[E, 9]``, channel-major ``(c0·f0, c0·f1, c0·f2,
+    c1·f0, ...)`` — matching the reference's ordering so translated
+    reference weights stay valid.
     """
     v_e = vector_rep[senders] if node_inputs else vector_rep
-    # [E, c, f] = sum_x frames[E, f, x] * v[E, c, x]
-    proj = jnp.einsum("efx,ecx->ecf", frames, v_e)
-    if enable_e3_equivariance:
-        # x_cross flips sign under reflection; abs restores invariance
-        proj = proj.at[..., 1].set(jnp.abs(proj[..., 1]))
+    vx, vy, vz = vec_components(v_e)  # [E, 3] each (3 channels)
+
+    cols = []
+    for c in range(3):
+        for f in range(3):
+            col = (
+                vx[:, c] * frames[:, 3 * f + 0]
+                + vy[:, c] * frames[:, 3 * f + 1]
+                + vz[:, c] * frames[:, 3 * f + 2]
+            )
+            if enable_e3_equivariance and f == 1:
+                # x_cross flips sign under reflection; abs restores invariance
+                col = jnp.abs(col)
+            cols.append(col)
+    local_scalars = jnp.stack(cols, axis=-1)  # [E, 9] channel-major
+
     if edge_mask is not None:
-        proj = proj * edge_mask[:, None, None].astype(proj.dtype)
-    local_scalars = proj.reshape(proj.shape[0], 9)
+        local_scalars = local_scalars * edge_mask[:, None].astype(
+            local_scalars.dtype
+        )
 
     if node_inputs:
         return segment_mean(
@@ -150,19 +183,28 @@ def vectorize(
     edge_mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
 ) -> Array:
-    """Inverse of :func:`scalarize`: 9 invariant gates combine the 3 frame
-    vectors into 3 equivariant vector channels
+    """Inverse of :func:`scalarize`: 9 channel-major invariant gates combine
+    the 3 frame vectors into 3 packed equivariant vector channels
     (reference components/__init__.py:328-378).
 
-    Returns ``[N, 3, 3]`` (node inputs, scatter-mean over source nodes) or
-    ``[E, 3, 3]`` (edge inputs), layout ``[..., channel, xyz]``.
+    Returns PACKED ``[N, 9]`` (node inputs, scatter-mean over source nodes)
+    or ``[E, 9]`` (edge inputs).
     """
     g_e = gate[senders] if node_inputs else gate
-    g_e = g_e.reshape(g_e.shape[0], 3, 3)  # [E, c, f]
-    # [E, c, x] = sum_f g[E, c, f] * frames[E, f, x]
-    vec = jnp.einsum("ecf,efx->ecx", g_e, frames)
+
+    comps = []
+    for x in range(3):
+        blocks = []
+        for c in range(3):
+            blocks.append(
+                g_e[:, 3 * c + 0] * frames[:, 0 + x]
+                + g_e[:, 3 * c + 1] * frames[:, 3 + x]
+                + g_e[:, 3 * c + 2] * frames[:, 6 + x]
+            )
+        comps.append(jnp.stack(blocks, axis=-1))  # [E, 3] channels for axis x
+    vec = vec_from_components(*comps)  # [E, 9] packed
     if edge_mask is not None:
-        vec = vec * edge_mask[:, None, None].astype(vec.dtype)
+        vec = vec * edge_mask[:, None].astype(vec.dtype)
 
     if node_inputs:
         return segment_mean(

@@ -26,6 +26,8 @@ from gcpnet_tpu.nn.primitives import (
     get_nonlinearity,
     is_identity,
     safe_norm,
+    safe_vec_norm,
+    vec_components,
 )
 
 Array = jax.Array
@@ -63,22 +65,25 @@ class Dense(nn.Module):
 
 
 class VecDense(nn.Module):
-    """Bias-free channel-mixing linear over vector channels
-    ``[..., din, 3] -> [..., dout, 3]`` (equivariant)."""
+    """Bias-free channel-mixing linear over PACKED vector channels
+    ``[..., 3*din] -> [..., 3*dout]`` (equivariant): the same kernel acts on
+    the x/y/z blocks as three lane-aligned matmuls (no [*, c, 3] batched
+    dots — see gcpnet_tpu.nn.primitives layout note)."""
 
     features: int
     init_gain: float = 1.0
 
     @nn.compact
-    def __call__(self, v: Array) -> Array:
-        din = v.shape[-2]
+    def __call__(self, vp: Array) -> Array:
+        din = vp.shape[-1] // 3
 
         def init(key, shape, dtype=jnp.float32):
             bound = self.init_gain / jnp.sqrt(shape[0])
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         kernel = self.param("kernel", init, (din, self.features))
-        return jnp.einsum("...dx,dh->...hx", v, kernel)
+        x, y, z = vec_components(vp)
+        return jnp.concatenate([x @ kernel, y @ kernel, z @ kernel], axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,7 +200,7 @@ class GCP2(nn.Module):
 
             hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
             vector_hidden_rep = VecDense(hidden, name="vector_down")(vector_rep)
-            vector_norm = safe_norm(vector_hidden_rep, axis=-1)  # [*, hidden]
+            vector_norm = safe_vec_norm(vector_hidden_rep)  # [*, hidden]
             merged = jnp.concatenate([scalar_rep, vector_norm], axis=-1)
 
             if not st.ablate_frame_updates:
@@ -226,7 +231,7 @@ class GCP2(nn.Module):
 
         if v_out and not v_in:
             new_vector = jnp.zeros(
-                (num_entities, v_out, 3), dtype=scalar_rep.dtype
+                (num_entities, 3 * v_out), dtype=scalar_rep.dtype
             )
         else:
             v_up = VecDense(v_out, name="vector_up")(vector_hidden_rep)
@@ -247,14 +252,16 @@ class GCP2(nn.Module):
                     count_mask=count_mask,
                 )
                 gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
-                new_vector = v_up * act_v(
-                    safe_norm(gate_vector_rep, axis=-1, keepdims=True)
+                new_vector = v_up * jnp.tile(
+                    act_v(safe_vec_norm(gate_vector_rep)), (1, 3)
                 )
             elif st.vector_gate:
                 gate = Dense(v_out, name="vector_out_scale")(act_v(scalar_rep))
-                new_vector = v_up * jax.nn.sigmoid(gate)[..., None]
+                new_vector = v_up * jnp.tile(jax.nn.sigmoid(gate), (1, 3))
             elif not is_identity(st.vector_nonlinearity):
-                new_vector = v_up * act_v(safe_norm(v_up, axis=-1, keepdims=True))
+                new_vector = v_up * jnp.tile(
+                    act_v(safe_vec_norm(v_up)), (1, 3)
+                )
             else:
                 new_vector = v_up
 
@@ -313,7 +320,7 @@ class GCP(nn.Module):
                 vector_rep = jnp.zeros_like(vector_rep)
             hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
             vector_hidden_rep = VecDense(hidden, name="vector_down")(vector_rep)
-            vector_norm = safe_norm(vector_hidden_rep, axis=-1)
+            vector_norm = safe_vec_norm(vector_hidden_rep)
             merged = jnp.concatenate([scalar_rep, vector_norm], axis=-1)
         else:
             merged = s_maybe_v
@@ -331,9 +338,11 @@ class GCP(nn.Module):
                 v_up = v_up + vector_rep
             if st.vector_gate:
                 gate = Dense(v_out, name="vector_out_scale")(act_v(scalar_rep))
-                new_vector = v_up * jax.nn.sigmoid(gate)[..., None]
+                new_vector = v_up * jnp.tile(jax.nn.sigmoid(gate), (1, 3))
             elif not is_identity(st.vector_nonlinearity):
-                new_vector = v_up * act_v(safe_norm(v_up, axis=-1, keepdims=True))
+                new_vector = v_up * jnp.tile(
+                    act_v(safe_vec_norm(v_up)), (1, 3)
+                )
             else:
                 new_vector = v_up
         else:
@@ -341,7 +350,7 @@ class GCP(nn.Module):
 
         scalar_rep = act_s(scalar_rep)
         if v_out and not v_in:
-            new_vector = jnp.zeros((num_entities, v_out, 3), dtype=scalar_rep.dtype)
+            new_vector = jnp.zeros((num_entities, 3 * v_out), dtype=scalar_rep.dtype)
 
         if st.ablate_frame_updates:
             if v_out:
@@ -379,7 +388,7 @@ class GCP(nn.Module):
                 gate = Dense(v_out, name="vector_out_scale_sigma_frames")(
                     act_v(scalar_rep)
                 )
-                new_vector = v_pre * jax.nn.sigmoid(gate)[..., None]
+                new_vector = v_pre * jnp.tile(jax.nn.sigmoid(gate), (1, 3))
             elif st.frame_gate:
                 gate = Dense(st.sv_dim * 3, name="vector_out_scale_frames")(
                     act_v(scalar_rep)
@@ -395,13 +404,15 @@ class GCP(nn.Module):
                     count_mask=count_mask,
                 )
                 gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
-                new_vector = v_pre * act_v(
-                    safe_norm(gate_vector_rep, axis=-1, keepdims=True)
+                new_vector = v_pre * jnp.tile(
+                    act_v(safe_vec_norm(gate_vector_rep)), (1, 3)
                 )
                 if st.vector_frame_residual:
                     new_vector = new_vector + v_pre
             elif not is_identity(st.vector_nonlinearity):
-                new_vector = v_pre * act_v(safe_norm(v_pre, axis=-1, keepdims=True))
+                new_vector = v_pre * jnp.tile(
+                    act_v(safe_vec_norm(v_pre)), (1, 3)
+                )
 
         scalar_rep = act_s(scalar_rep)
         if st.ablate_scalars:

@@ -24,11 +24,13 @@ from flax import linen as nn
 from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.message_passing import GCPMessagePassing
+from gcpnet_tpu.nn.frames import frame_rows
 from gcpnet_tpu.nn.primitives import (
     GCPDropout,
     GCPLayerNorm,
     ScalarVector,
     get_nonlinearity,
+    vec_at,
 )
 from gcpnet_tpu.ops.segment import segment_count, segment_mean, segment_sum
 
@@ -131,7 +133,7 @@ class GCPInteractions(nn.Module):
             count = jnp.maximum(count, 1.0)
             hidden_residual = ScalarVector(
                 hidden_residual.scalar / count[:, None],
-                hidden_residual.vector / count[:, None, None],
+                hidden_residual.vector / count[:, None],
             )
         else:
             hidden_residual = interaction(
@@ -222,7 +224,7 @@ class GCPInteractions(nn.Module):
             m = node_mask[:, None]
             node_rep = ScalarVector(
                 jnp.where(m, node_rep.scalar, node_rep_in.scalar),
-                jnp.where(m[..., None], node_rep.vector, node_rep_in.vector),
+                jnp.where(m, node_rep.vector, node_rep_in.vector),
             )
 
         if not self.updating_node_positions:
@@ -288,10 +290,9 @@ class GCPInteractions(nn.Module):
 
             kernel = self.param("phi_force_ij_kernel", xavier_small, (s_dim, 3))
             coef = act(h_i + h_j) @ kernel  # [E, 3]
+            f0, f1, f2 = frame_rows(frames)
             force_e = (
-                coef[:, :1] * frames[:, 0]
-                + coef[:, 1:2] * frames[:, 1]
-                + coef[:, 2:3] * frames[:, 2]
+                coef[:, :1] * f0 + coef[:, 1:2] * f1 + coef[:, 2:3] * f2
             )
             fm = force_mask if force_mask is not None else edge_mask
             x_force = segment_mean(
@@ -299,7 +300,7 @@ class GCPInteractions(nn.Module):
                 mask=fm, count_mask=fm,
             )
 
-        x_update = (chi_v[:, 0, :] + x_force) * st_cfg.node_positions_weight
+        x_update = (vec_at(chi_v, 0) + x_force) * st_cfg.node_positions_weight
         return jnp.clip(x_update, -100.0, 100.0)
 
 
@@ -450,7 +451,7 @@ class GCPInteractions2(nn.Module):
             edge_mask=frame_mask,
             count_mask=count_mask,
         )
-        x_update = update_rep.vector[:, 0, :] * self.cfg.node_positions_weight
+        x_update = vec_at(update_rep.vector, 0) * self.cfg.node_positions_weight
         node_pos = node_pos + x_update
         if node_mask is not None:
             node_pos = node_pos * node_mask[:, None].astype(node_pos.dtype)

@@ -26,6 +26,8 @@ from gcpnet_tpu.nn import (
     GCPInteractions2,
     GCPMessagePassing,
     ScalarVector,
+    pack_vector,
+    unpack_vector,
     centralize,
     localize,
 )
@@ -82,9 +84,9 @@ def apply_gcp(batch, cfg, node_inputs, dims_in, dims_out, **overrides):
     _, frames = frames_for(batch)
     gcp = make_gcp(dims_in, dims_out, cfg, **overrides)
     rep = (
-        ScalarVector(batch.h, batch.chi)
+        ScalarVector(batch.h, pack_vector(batch.chi))
         if node_inputs
-        else ScalarVector(batch.e, batch.xi)
+        else ScalarVector(batch.e, pack_vector(batch.xi))
     )
     params = gcp.init(
         jax.random.key(0), rep, batch.senders, batch.receivers, frames,
@@ -171,7 +173,7 @@ def test_gcp_module_equivariance(rng, variant, node_inputs):
     def fn(b):
         _, out = apply_gcp(b, variant.cfg, node_inputs, dims_in, dims_out,
                            bottleneck=1)
-        return out.scalar, out.vector
+        return out.scalar, unpack_vector(out.vector)
 
     check_so3(fn, batch, rng)
 
@@ -198,7 +200,7 @@ def test_e3_mode_reflection_invariance(rng):
         cfg = ModuleCfg(enable_e3_equivariance=e3)
         gcp = make_gcp(NODE_DIMS, (12, 4), cfg, bottleneck=1)
         _, frames = frames_for(batch)
-        rep = ScalarVector(batch.h, batch.chi)
+        rep = ScalarVector(batch.h, pack_vector(batch.chi))
         params = gcp.init(
             jax.random.key(0), rep, batch.senders, batch.receivers, frames,
             True, batch.edge_pad_mask, batch.edge_pad_mask,
@@ -207,7 +209,7 @@ def test_e3_mode_reflection_invariance(rng):
         def run(b):
             _, f = frames_for(b)
             return gcp.apply(
-                params, ScalarVector(b.h, b.chi), b.senders, b.receivers, f,
+                params, ScalarVector(b.h, pack_vector(b.chi)), b.senders, b.receivers, f,
                 True, b.edge_pad_mask, b.edge_pad_mask,
             )
 
@@ -229,8 +231,8 @@ def _mp_fn(batch, layer_cfg, cfg):
         cfg=cfg,
         layer_cfg=layer_cfg,
     )
-    node = ScalarVector(batch.h, batch.chi)
-    edge = ScalarVector(batch.e, batch.xi)
+    node = ScalarVector(batch.h, pack_vector(batch.chi))
+    edge = ScalarVector(batch.e, pack_vector(batch.xi))
     params = mp.init(
         jax.random.key(0), node, edge, batch.senders, batch.receivers, frames,
         batch.edge_pad_mask, batch.edge_pad_mask,
@@ -239,7 +241,7 @@ def _mp_fn(batch, layer_cfg, cfg):
         params, node, edge, batch.senders, batch.receivers, frames,
         batch.edge_pad_mask, batch.edge_pad_mask,
     )
-    return out.scalar, out.vector
+    return out.scalar, unpack_vector(out.vector)
 
 
 def test_message_passing_equivariance(rng):
@@ -269,8 +271,8 @@ def test_interactions_equivariance(rng, layer_kind):
 
     def fn(b):
         _, frames = frames_for(b)
-        node = ScalarVector(b.h, b.chi)
-        edge = ScalarVector(b.e, b.xi)
+        node = ScalarVector(b.h, pack_vector(b.chi))
+        edge = ScalarVector(b.e, pack_vector(b.xi))
         kw = dict(edge_mask=b.edge_pad_mask, count_mask=b.edge_pad_mask)
         variables = layer.init(
             jax.random.key(0), node, edge, b.senders, b.receivers, frames, **kw
@@ -278,7 +280,7 @@ def test_interactions_equivariance(rng, layer_kind):
         out = layer.apply(
             variables, node, edge, b.senders, b.receivers, frames, **kw
         )
-        return out.scalar, out.vector
+        return out.scalar, unpack_vector(out.vector)
 
     check_so3(fn, batch, rng)
 
@@ -303,8 +305,8 @@ def test_position_update_equivariance(rng, layer_kind):
 
     def run(b):
         centered, frames = frames_for(b)
-        node = ScalarVector(b.h, b.chi)
-        edge = ScalarVector(b.e, b.xi)
+        node = ScalarVector(b.h, pack_vector(b.chi))
+        edge = ScalarVector(b.e, pack_vector(b.xi))
         kw = dict(
             node_pos=centered, edge_mask=b.edge_pad_mask,
             count_mask=b.edge_pad_mask,
@@ -346,7 +348,7 @@ def test_embedding_equivariance(rng):
         node_out, edge_out = embed.apply(
             variables, b, frames, b.edge_pad_mask, b.edge_pad_mask
         )
-        return node_out.scalar, node_out.vector
+        return node_out.scalar, unpack_vector(node_out.vector)
 
     check_so3(fn, batch, rng)
 
@@ -374,7 +376,7 @@ def test_permutation_equivariance(rng):
     def run(b):
         _, frames = frames_for(b)
         gcp = make_gcp(NODE_DIMS, (12, 4), cfg, bottleneck=1)
-        rep = ScalarVector(b.h, b.chi)
+        rep = ScalarVector(b.h, pack_vector(b.chi))
         params = gcp.init(
             jax.random.key(0), rep, b.senders, b.receivers, frames, True,
             b.edge_pad_mask, b.edge_pad_mask,
@@ -406,7 +408,7 @@ def test_padding_independence(rng):
     def run(b):
         _, frames = frames_for(b)
         gcp = make_gcp(NODE_DIMS, (12, 4), cfg, bottleneck=1)
-        rep = ScalarVector(b.h, b.chi)
+        rep = ScalarVector(b.h, pack_vector(b.chi))
         params = gcp.init(
             jax.random.key(0), rep, b.senders, b.receivers, frames, True,
             b.edge_pad_mask, b.edge_pad_mask,

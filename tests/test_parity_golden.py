@@ -32,7 +32,12 @@ from gcpnet_tpu.nn.frames import (
 from gcpnet_tpu.nn.gcp import GCP, GCP2, GCP3, GCPSettings
 from gcpnet_tpu.nn.interactions import GCPInteractions, GCPInteractions2
 from gcpnet_tpu.nn.message_passing import GCPMessagePassing
-from gcpnet_tpu.nn.primitives import GCPLayerNorm, ScalarVector
+from gcpnet_tpu.nn.primitives import (
+    GCPLayerNorm,
+    ScalarVector,
+    pack_vector,
+    unpack_vector,
+)
 from gcpnet_tpu.utils.torch_compat import translate_state_dict
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
@@ -70,6 +75,15 @@ def _check(actual, expected, label):
     np.testing.assert_allclose(
         np.asarray(actual), expected, atol=ATOL, rtol=RTOL, err_msg=label
     )
+
+
+def _sv(s, v):
+    """Boundary helper: fixture [*, c, 3] vectors -> packed ScalarVector."""
+    return ScalarVector(jnp.asarray(s), pack_vector(jnp.asarray(v)))
+
+
+def _check_vec(actual_packed, expected_c3, label):
+    _check(unpack_vector(actual_packed), expected_c3, label)
 
 
 def _settings_from_meta(meta) -> GCPSettings:
@@ -111,10 +125,10 @@ def test_geometry_parity():
     _check(decentralize(x, graph_id, centroid), outs["recovered"], "recovered")
 
     frames = localize(x, senders, receivers, norm_x_diff=True)
-    _check(frames, outs["frames"], "frames")
+    _check(frames.reshape(-1, 3, 3), outs["frames"], "frames")
 
-    v9 = jnp.asarray(ins["v9"])
-    e9 = jnp.asarray(ins["e9"])
+    v9 = pack_vector(jnp.asarray(ins["v9"]))
+    e9 = pack_vector(jnp.asarray(ins["e9"]))
     for e3 in (False, True):
         tag = "_e3" if e3 else ""
         _check(
@@ -127,12 +141,12 @@ def test_geometry_parity():
                       enable_e3_equivariance=e3, num_nodes=E),
             outs[f"scalarize_edge{tag}"], f"scalarize_edge{tag}",
         )
-    _check(
+    _check_vec(
         vectorize(jnp.asarray(ins["gate_n"]), senders, receivers, frames,
                   node_inputs=True, num_nodes=N),
         outs["vectorize_node"], "vectorize_node",
     )
-    _check(
+    _check_vec(
         vectorize(jnp.asarray(ins["gate_e"]), senders, receivers, frames,
                   node_inputs=False, num_nodes=E),
         outs["vectorize_edge"], "vectorize_edge",
@@ -149,7 +163,7 @@ def test_geometry_parity():
                   edge_mask=em, count_mask=all_edges),
         outs["scalarize_node_masked"], "scalarize_node_masked",
     )
-    _check(
+    _check_vec(
         vectorize(jnp.asarray(ins["gate_n"]), senders, receivers, frames,
                   node_inputs=True, num_nodes=N,
                   edge_mask=em, count_mask=all_edges),
@@ -161,11 +175,9 @@ def test_layer_norm_parity():
     meta, ins, sd, outs = _load("gcp_layer_norm")
     params = {"params": translate_state_dict(sd)}
     module = GCPLayerNorm()
-    out = module.apply(
-        params, ScalarVector(jnp.asarray(ins["s"]), jnp.asarray(ins["v"]))
-    )
+    out = module.apply(params, _sv(ins["s"], ins["v"]))
     _check(out.scalar, outs["scalar"], "scalar")
-    _check(out.vector, outs["vector"], "vector")
+    _check_vec(out.vector, outs["vector"], "vector")
 
 
 # ------------------------------------------------------------------ GCP units
@@ -179,9 +191,9 @@ def test_gcp_parity(name):
         settings=_settings_from_meta(meta),
     )
     senders, receivers = _edges(ins)
-    frames = jnp.asarray(ins["frames"])
+    frames = jnp.asarray(ins["frames"]).reshape(-1, 9)
     if meta["in_dims"][1]:
-        sv = ScalarVector(jnp.asarray(ins["s"]), jnp.asarray(ins["v"]))
+        sv = _sv(ins["s"], ins["v"])
     else:
         sv = jnp.asarray(ins["s"])
     params = {"params": translate_state_dict(sd)}
@@ -191,7 +203,7 @@ def test_gcp_parity(name):
     )
     if "vector" in outs:
         _check(out.scalar, outs["scalar"], "scalar")
-        _check(out.vector, outs["vector"], "vector")
+        _check_vec(out.vector, outs["vector"], "vector")
     else:
         _check(out, outs["scalar"], "scalar")
 
@@ -213,12 +225,12 @@ def test_message_passing_parity(name):
     senders, receivers = _edges(ins)
     out = module.apply(
         {"params": translate_state_dict(sd)},
-        ScalarVector(jnp.asarray(ins["hs"]), jnp.asarray(ins["hv"])),
-        ScalarVector(jnp.asarray(ins["es"]), jnp.asarray(ins["ev"])),
-        senders, receivers, jnp.asarray(ins["frames"]),
+        _sv(ins["hs"], ins["hv"]),
+        _sv(ins["es"], ins["ev"]),
+        senders, receivers, jnp.asarray(ins["frames"]).reshape(-1, 9),
     )
     _check(out.scalar, outs["scalar"], "scalar")
-    _check(out.vector, outs["vector"], "vector")
+    _check_vec(out.vector, outs["vector"], "vector")
 
 
 # ---------------------------------------------------------------- interactions
@@ -241,9 +253,7 @@ def test_interactions_parity(name):
     senders, receivers = _edges(ins)
     call_kwargs = dict(deterministic=True)
     if meta["autoregressive"]:
-        call_kwargs["node_rep_regressive"] = ScalarVector(
-            jnp.asarray(ins["rs"]), jnp.asarray(ins["rv"])
-        )
+        call_kwargs["node_rep_regressive"] = _sv(ins["rs"], ins["rv"])
     node_mask = None
     if meta["has_node_mask"]:
         node_mask = jnp.asarray(ins["node_mask"])
@@ -259,9 +269,9 @@ def test_interactions_parity(name):
 
     out = module.apply(
         {"params": translate_state_dict(sd)},
-        ScalarVector(jnp.asarray(ins["hs"]), jnp.asarray(ins["hv"])),
-        ScalarVector(jnp.asarray(ins["es"]), jnp.asarray(ins["ev"])),
-        senders, receivers, jnp.asarray(ins["frames"]),
+        _sv(ins["hs"], ins["hv"]),
+        _sv(ins["es"], ins["ev"]),
+        senders, receivers, jnp.asarray(ins["frames"]).reshape(-1, 9),
         **call_kwargs,
     )
     if meta["updating_node_positions"]:
@@ -274,7 +284,7 @@ def test_interactions_parity(name):
         # semantics) — full-array comparison is exactly the parity claim
         pass
     _check(s_out, outs["scalar"], "scalar")
-    _check(v_out, outs["vector"], "vector")
+    _check_vec(v_out, outs["vector"], "vector")
 
 
 # ------------------------------------------------------------------ embedding
@@ -308,12 +318,13 @@ def test_embedding_parity(name):
         extras={"lig_flag": jnp.asarray(ins["lig_flag"], jnp.int32)},
     )
     node_rep, edge_rep = module.apply(
-        {"params": translate_state_dict(sd)}, batch, jnp.asarray(ins["frames"])
+        {"params": translate_state_dict(sd)}, batch,
+        jnp.asarray(ins["frames"]).reshape(-1, 9)
     )
     _check(node_rep.scalar, outs["node_scalar"], "node_scalar")
-    _check(node_rep.vector, outs["node_vector"], "node_vector")
+    _check_vec(node_rep.vector, outs["node_vector"], "node_vector")
     _check(edge_rep.scalar, outs["edge_scalar"], "edge_scalar")
-    _check(edge_rep.vector, outs["edge_vector"], "edge_vector")
+    _check_vec(edge_rep.vector, outs["edge_vector"], "edge_vector")
 
 
 # -------------------------------------------------------------------- decoder

@@ -9,14 +9,24 @@ from gcpnet_tpu.nn.primitives import (
     ScalarVector,
     norm_no_nan,
     norm_vector_channels,
+    pack_vector,
     safe_norm,
+    unpack_vector,
+    vec_at,
+    vec_components,
 )
 from gcpnet_tpu.ops.segment import masked_mean, segment_mean, segment_sum
 
 
 def test_scalar_vector_roundtrip(rng):
     s = jnp.asarray(rng.normal(size=(7, 5)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(7, 4, 3)).astype(np.float32))
+    v3 = rng.normal(size=(7, 4, 3)).astype(np.float32)
+    v = pack_vector(jnp.asarray(v3))
+    assert v.shape == (7, 12)
+    np.testing.assert_allclose(unpack_vector(v), v3)
+    # packed block semantics: x-block first
+    np.testing.assert_allclose(np.asarray(v)[:, :4], v3[:, :, 0])
+    np.testing.assert_allclose(np.asarray(vec_at(v, 2)), v3[:, 2, :])
     sv = ScalarVector(s, v)
     flat = sv.flatten()
     assert flat.shape == (7, 5 + 12)
@@ -27,14 +37,19 @@ def test_scalar_vector_roundtrip(rng):
 
 def test_scalar_vector_arith(rng):
     s = jnp.ones((3, 2))
-    v = jnp.ones((3, 2, 3))
+    v3 = rng.normal(size=(3, 2, 3)).astype(np.float32)
+    v = pack_vector(jnp.asarray(v3))
     sv = ScalarVector(s, v)
     out = sv + sv
     np.testing.assert_allclose(out.scalar, 2 * s)
     out = sv * 3.0
     np.testing.assert_allclose(out.vector, 3 * v)
     cat = sv.concat((sv,))
-    assert cat.scalar.shape == (3, 4) and cat.vector.shape == (3, 4, 3)
+    assert cat.scalar.shape == (3, 4) and cat.vector.shape == (3, 12)
+    # concat interleaves per-axis blocks so unpack gives channel concat
+    np.testing.assert_allclose(
+        unpack_vector(cat.vector), np.concatenate([v3, v3], axis=1)
+    )
 
 
 def test_safe_norm_matches_reference_formula(rng):
@@ -80,6 +95,6 @@ def test_masked_mean():
 
 
 def test_norm_vector_channels_zero_safe():
-    v = jnp.zeros((3, 4, 3))
+    v = jnp.zeros((3, 12))
     out = norm_vector_channels(v)
     assert np.isfinite(np.asarray(out)).all()
