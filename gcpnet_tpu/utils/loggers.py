@@ -101,6 +101,30 @@ class WandbLogger(BaseLogger):
         if self.run is not None:
             self.run.config.update(params, allow_val_change=True)
 
+    def log_molecule_table(self, name: str, rows, pdb_key: str = "annotated_pdb"):
+        """Run-attached molecule table: each row's ``pdb_key`` PDB becomes a
+        ``wandb.Molecule`` next to its metric columns (the reference's W&B
+        tables, gcpnet_ar_module.py:331-362, gcpnet_eq_module.py:424-472)."""
+        if self.run is None or not rows:
+            return
+        try:
+            import wandb
+
+            columns = sorted(rows[0].keys())
+            table = wandb.Table(columns=columns + ["molecule"])
+            for row in rows:
+                mol = None
+                path = row.get(pdb_key)
+                if path:
+                    try:
+                        mol = wandb.Molecule(path)
+                    except Exception:
+                        mol = None
+                table.add_data(*[row.get(c) for c in columns], mol)
+            self.run.log({name: table})
+        except Exception:
+            pass
+
     def finalize(self):
         if self.run is not None:
             self.run.finish()

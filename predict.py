@@ -63,8 +63,14 @@ def predict(cfg):
 
     out_dir = cfg["datamodule"].get("predict_output_dir") or "predictions"
     os.makedirs(out_dir, exist_ok=True)
+    # per-rank CSV (reference writes rank_{global_rank} files,
+    # gcpnet_eq_module.py:428-431)
+    rank = jax.process_index()
+    default_name = (
+        "predictions.csv" if rank == 0 else f"predictions_rank_{rank}.csv"
+    )
     csv_path = cfg.get("predictions_csv_path") or os.path.join(
-        out_dir, "predictions.csv"
+        out_dir, default_name
     )
 
     rows = []
@@ -83,6 +89,21 @@ def predict(cfg):
             writer.writeheader()
             writer.writerows(rows)
         log.info(f"wrote {len(rows)} prediction rows to {csv_path}")
+
+        # run-attached molecule table when a W&B logger is configured
+        from gcpnet_tpu.utils.loggers import WandbLogger, instantiate_loggers
+
+        for logger in instantiate_loggers(cfg.get("logger")):
+            if isinstance(logger, WandbLogger):
+                pdb_key = (
+                    "refined_pdb"
+                    if any("refined_pdb" in r for r in rows)
+                    else "annotated_pdb"
+                )
+                logger.log_molecule_table(
+                    "predictions", rows, pdb_key=pdb_key
+                )
+            logger.finalize()
     return {"num_predictions": len(rows)}, trainer
 
 
