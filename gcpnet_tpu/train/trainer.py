@@ -153,6 +153,7 @@ class Trainer:
         self.log_dir = log_dir
         self._train_step = None
         self._eval_step = None
+        self._eval_scan = None
         self.state: Optional[TrainState] = None
         self.history: Dict[str, list] = {}
 
@@ -303,6 +304,32 @@ class Trainer:
         )
         return jax.jit(mapped)
 
+    def _build_eval_scan(self):
+        """One dispatch for a stack of same-shape eval batches — essential
+        when per-dispatch latency is high (remote-tunneled chips can cost
+        ~1s per execution; SURVEY.md §5.1 perf notes)."""
+        model = self.model
+        loss_fn = self.loss_fn
+
+        def local_scan(state: TrainState, stacked: GraphBatch):
+            def body(carry, batch):
+                out = model.apply({"params": state.params}, batch, True)
+                loss, _ = loss_fn(out, batch)
+                loss = jax.lax.pmean(loss, "dp")
+                return carry, (loss, out)
+
+            _, (losses, outs) = jax.lax.scan(body, 0, stacked)
+            return losses, outs
+
+        mapped = shard_map(
+            local_scan,
+            mesh=self.mesh,
+            in_specs=(P(), P(None, "dp")),
+            out_specs=(P(), P(None, "dp")),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
     # ------------------------------------------------------------------
     def _put(self, batch: GraphBatch) -> GraphBatch:
         return shard_graph_batch(batch, self.mesh)
@@ -407,12 +434,48 @@ class Trainer:
             batches = itertools.chain([first], batches)
         losses = []
         collector = Collector() if self.collect_fn else None
-        for batch in batches:
-            dev_batch = self._put(batch)
-            loss, out = self._eval_step(self.state, dev_batch)
+
+        def consume(loss, out, batch):
             losses.append(float(loss))
             if collector is not None:
                 self.collect_fn(collector, jax.device_get(out), batch)
+
+        if self.scan_chunk_size > 1:
+            if self._eval_scan is None:
+                self._eval_scan = self._build_eval_scan()
+            chunk: list = []
+
+            def flush():
+                if not chunk:
+                    return
+                if len(chunk) == self.scan_chunk_size:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *chunk,
+                    )
+                    stacked_dev = self._put_stacked(stacked)
+                    ls, outs = self._eval_scan(self.state, stacked_dev)
+                    ls = np.asarray(ls)
+                    outs = jax.device_get(outs)
+                    for i, b in enumerate(chunk):
+                        out_i = jax.tree_util.tree_map(lambda a: a[i], outs)
+                        consume(ls[i], out_i, b)
+                else:
+                    for b in chunk:
+                        loss, out = self._eval_step(self.state, self._put(b))
+                        consume(loss, out, b)
+                chunk.clear()
+
+            for batch in batches:
+                chunk.append(batch)
+                if len(chunk) == self.scan_chunk_size:
+                    flush()
+            flush()
+        else:
+            for batch in batches:
+                dev_batch = self._put(batch)
+                loss, out = self._eval_step(self.state, dev_batch)
+                consume(loss, out, batch)
         metrics = {
             f"{prefix}/loss": float(np.mean(losses)) if losses else float("nan")
         }

@@ -121,3 +121,47 @@ def test_sweep_space_parsing():
     assert len(trials) == 5
     assert all(1e-5 <= t["params"]["lr"] <= 1e-3 for t in trials)
     assert value == min(t["value"] for t in trials)
+
+
+def test_eval_scan_matches_per_batch(tmp_path):
+    """Chunked (scan) evaluation must produce the same loss and collected
+    metrics as the per-batch path."""
+    import jax
+
+    from gcpnet_tpu.config.schema import LayerCfg, ModelCfg, ModuleCfg, MPCfg
+    from gcpnet_tpu.data.nms import NMSDataModule
+    from gcpnet_tpu.models import GCPNetNMS, nms_loss
+    from gcpnet_tpu.parallel import make_mesh
+    from gcpnet_tpu.train import Trainer
+
+    dm = NMSDataModule(
+        data_root=str(tmp_path), data_mode="small", batch_size=8,
+        num_train=16, num_valid=16, num_test=16, num_shards=1,
+    )
+    dm.prepare_data()
+    dm.setup()
+
+    cfg = dict(
+        model_cfg=ModelCfg(
+            h_input_dim=1, chi_input_dim=3, e_input_dim=17, xi_input_dim=1,
+            h_hidden_dim=16, chi_hidden_dim=4, e_hidden_dim=8, xi_hidden_dim=4,
+            num_encoder_layers=1, dropout=0.0,
+        ),
+        module_cfg=ModuleCfg(),
+        layer_cfg=LayerCfg(mp_cfg=MPCfg(num_message_layers=2)),
+    )
+    model = GCPNetNMS(**cfg)
+
+    results = {}
+    for chunk in (1, 2):
+        tr = Trainer(
+            model, nms_loss, optimizer_cfg={"_target_": "Adam", "lr": 1e-3},
+            mesh=make_mesh(jax.devices()[:1]), early_stopping_patience=None,
+            seed=3, scan_chunk_size=chunk,
+        )
+        tr.init_state(tr._put(next(iter(dm.val_batches()))))
+        results[chunk] = tr.eval_epoch(dm.val_batches(), prefix="val")
+
+    assert results[1]["val/loss"] == pytest.approx(
+        results[2]["val/loss"], rel=1e-6
+    )
