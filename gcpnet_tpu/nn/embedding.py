@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from gcpnet_tpu.config.schema import ModuleCfg
 from gcpnet_tpu.graph import GraphBatch
+from gcpnet_tpu.nn.frames import node_mean_frames
 from gcpnet_tpu.nn.gcp import make_gcp
 from gcpnet_tpu.nn.primitives import GCPLayerNorm, ScalarVector, pack_vector
 
@@ -115,6 +116,9 @@ class GCPEmbedding(nn.Module):
             edge_mask=edge_mask,
             count_mask=count_mask,
         )
+        nf = node_mean_frames(
+            frames, batch.senders, batch.h.shape[0], edge_mask, count_mask
+        )
         node_out = node_gcp(
             node_rep,
             batch.senders,
@@ -123,6 +127,7 @@ class GCPEmbedding(nn.Module):
             node_inputs=True,
             edge_mask=edge_mask,
             count_mask=count_mask,
+            node_frames=nf,
         )
 
         if not self.pre_norm:

@@ -109,6 +109,32 @@ def frame_rows(f_ij: Array):
     return f_ij[..., 0:3], f_ij[..., 3:6], f_ij[..., 6:9]
 
 
+def node_mean_frames(
+    frames: Array,
+    senders: Array,
+    num_nodes: int,
+    edge_mask: Optional[Array] = None,
+    count_mask: Optional[Array] = None,
+) -> Array:
+    """Per-node mean of outgoing-edge frames, ``[N, 9]``.
+
+    Node-input scalarize/vectorize are LINEAR in the frames for a fixed
+    node feature: ``mean_e (v_i · f_e) = v_i · mean_e f_e``.  Computing
+    this mean once per (mask, count_mask) pair turns every node-input
+    GCP's per-edge gather + scatter-mean into a per-node elementwise op —
+    profiling showed those scatters dominating the step.  Exact except the
+    reference's ``enable_e3_equivariance`` abs (nonlinear per edge), which
+    keeps the per-edge path.
+    """
+    return segment_mean(
+        frames,
+        senders,
+        num_nodes,
+        mask=edge_mask,
+        count_mask=count_mask if count_mask is not None else edge_mask,
+    )
+
+
 def scalarize(
     vector_rep: Array,
     senders: Array,
@@ -119,6 +145,7 @@ def scalarize(
     num_nodes: int,
     edge_mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
+    node_frames: Optional[Array] = None,
 ) -> Array:
     """Project 3-channel packed vector features onto edge-local frames,
     yielding 9 invariant scalars per entity
@@ -139,7 +166,24 @@ def scalarize(
     Returns ``[N, 9]`` / ``[E, 9]``, channel-major ``(c0·f0, c0·f1, c0·f2,
     c1·f0, ...)`` — matching the reference's ordering so translated
     reference weights stay valid.
+
+    ``node_frames`` (``[N, 9]`` from :func:`node_mean_frames`) activates the
+    linearity fast path for node inputs: the per-edge projection + scatter
+    mean collapses to a per-node elementwise product.  Exact unless
+    ``enable_e3_equivariance`` (per-edge abs is nonlinear).
     """
+    if node_inputs and node_frames is not None and not enable_e3_equivariance:
+        vx, vy, vz = vec_components(vector_rep)  # [N, 3] each
+        cols = []
+        for c in range(3):
+            for f in range(3):
+                cols.append(
+                    vx[:, c] * node_frames[:, 3 * f + 0]
+                    + vy[:, c] * node_frames[:, 3 * f + 1]
+                    + vz[:, c] * node_frames[:, 3 * f + 2]
+                )
+        return jnp.stack(cols, axis=-1)
+
     v_e = vector_rep[senders] if node_inputs else vector_rep
     vx, vy, vz = vec_components(v_e)  # [E, 3] each (3 channels)
 
@@ -182,14 +226,30 @@ def vectorize(
     num_nodes: int,
     edge_mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
+    node_frames: Optional[Array] = None,
 ) -> Array:
     """Inverse of :func:`scalarize`: 9 channel-major invariant gates combine
     the 3 frame vectors into 3 packed equivariant vector channels
     (reference components/__init__.py:328-378).
 
     Returns PACKED ``[N, 9]`` (node inputs, scatter-mean over source nodes)
-    or ``[E, 9]`` (edge inputs).
+    or ``[E, 9]`` (edge inputs).  ``node_frames`` activates the same
+    linearity fast path as in :func:`scalarize` (always exact here — no
+    per-edge nonlinearity).
     """
+    if node_inputs and node_frames is not None:
+        comps = []
+        for x in range(3):
+            blocks = []
+            for c in range(3):
+                blocks.append(
+                    gate[:, 3 * c + 0] * node_frames[:, 0 + x]
+                    + gate[:, 3 * c + 1] * node_frames[:, 3 + x]
+                    + gate[:, 3 * c + 2] * node_frames[:, 6 + x]
+                )
+            comps.append(jnp.stack(blocks, axis=-1))
+        return vec_from_components(*comps)
+
     g_e = gate[senders] if node_inputs else gate
 
     comps = []

@@ -182,6 +182,7 @@ class GCP2(nn.Module):
         node_inputs: bool = False,
         edge_mask: Optional[Array] = None,
         count_mask: Optional[Array] = None,
+        node_frames: Optional[Array] = None,
     ):
         st = self.settings
         s_in, v_in = self.input_dims
@@ -215,6 +216,7 @@ class GCP2(nn.Module):
                     num_nodes=num_entities,
                     edge_mask=edge_mask,
                     count_mask=count_mask,
+                    node_frames=node_frames,
                 )
                 merged = jnp.concatenate([merged, scalar_hidden_rep], axis=-1)
         else:
@@ -250,6 +252,7 @@ class GCP2(nn.Module):
                     num_nodes=num_entities,
                     edge_mask=edge_mask,
                     count_mask=count_mask,
+                    node_frames=node_frames,
                 )
                 gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
                 new_vector = v_up * jnp.tile(
@@ -305,6 +308,7 @@ class GCP(nn.Module):
         node_inputs: bool = False,
         edge_mask: Optional[Array] = None,
         count_mask: Optional[Array] = None,
+        node_frames: Optional[Array] = None,
     ):
         st = self.settings
         s_in, v_in = self.input_dims
@@ -372,6 +376,7 @@ class GCP(nn.Module):
             num_nodes=num_entities,
             edge_mask=edge_mask,
             count_mask=count_mask,
+            node_frames=node_frames,
         )
         merged = jnp.concatenate([scalar_rep, scalar_hidden_rep], axis=-1)
         scalar_rep = Dense(s_out, name="scalar_out_frames")(merged)
@@ -402,6 +407,7 @@ class GCP(nn.Module):
                     num_nodes=num_entities,
                     edge_mask=edge_mask,
                     count_mask=count_mask,
+                    node_frames=node_frames,
                 )
                 gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
                 new_vector = v_pre * jnp.tile(

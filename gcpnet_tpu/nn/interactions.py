@@ -24,7 +24,7 @@ from flax import linen as nn
 from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.message_passing import GCPMessagePassing
-from gcpnet_tpu.nn.frames import frame_rows
+from gcpnet_tpu.nn.frames import frame_rows, node_mean_frames
 from gcpnet_tpu.nn.primitives import (
     GCPDropout,
     GCPLayerNorm,
@@ -202,6 +202,12 @@ class GCPInteractions(nn.Module):
                 )
             )
 
+        # one frames-mean per mask pair replaces a gather + scatter-mean in
+        # every node-input GCP below (linearity of scalarize/vectorize)
+        nf_ff = node_mean_frames(
+            frames, senders, num_nodes, ff_edge_mask, ff_count_mask
+        )
+
         hidden_residual = node_rep
         for module in ff_stack:
             hidden_residual = module(
@@ -212,6 +218,7 @@ class GCPInteractions(nn.Module):
                 node_inputs=True,
                 edge_mask=ff_edge_mask,
                 count_mask=ff_count_mask,
+                node_frames=nf_ff,
             )
 
         node_rep = node_rep + drop1(hidden_residual, deterministic)
@@ -230,10 +237,19 @@ class GCPInteractions(nn.Module):
         if not self.updating_node_positions:
             return node_rep
 
+        if node_mask is None:
+            # ff pair == pos pair == (edge_mask, count_mask): reuse
+            nf_pos = nf_ff
+        else:
+            # pos head keeps the all-real-edges denominator while the FF
+            # uses the subgraph denominator
+            nf_pos = node_mean_frames(
+                frames, senders, num_nodes, frame_mask, count_mask
+            )
         x_update = self._derive_x_update(
             node_rep, senders, receivers, frames,
             edge_mask=frame_mask, count_mask=count_mask,
-            force_mask=agg_mask,
+            force_mask=agg_mask, node_frames=nf_pos,
         )
         node_pos = node_pos + x_update
         return node_rep, node_pos
@@ -247,6 +263,7 @@ class GCPInteractions(nn.Module):
         edge_mask: Optional[Array],
         count_mask: Optional[Array],
         force_mask: Optional[Array] = None,
+        node_frames: Optional[Array] = None,
     ) -> Array:
         """Equivariant position update head (gcpnet.py:1118-1158).
 
@@ -271,6 +288,7 @@ class GCPInteractions(nn.Module):
             node_inputs=True,
             edge_mask=edge_mask,
             count_mask=count_mask,
+            node_frames=node_frames,
         )
 
         if st_cfg.ablate_x_force_update:
@@ -412,6 +430,10 @@ class GCPInteractions2(nn.Module):
         # unlike GCPInteractions, no subgraph re-extraction here: the FF
         # runs on the full edge set with node-masked numerators and
         # all-real-edge denominators (gcpnet.py:1408-1419)
+        num_nodes2 = node_rep.scalar.shape[0]
+        nf = node_mean_frames(
+            frames, senders, num_nodes2, frame_mask, count_mask
+        )
         for module in ff_stack:
             hidden_residual = module(
                 hidden_residual,
@@ -421,6 +443,7 @@ class GCPInteractions2(nn.Module):
                 node_inputs=True,
                 edge_mask=frame_mask,
                 count_mask=count_mask,
+                node_frames=nf,
             )
 
         node_rep = node_rep + drop0(hidden_residual, deterministic)
@@ -450,6 +473,7 @@ class GCPInteractions2(nn.Module):
             node_inputs=True,
             edge_mask=frame_mask,
             count_mask=count_mask,
+            node_frames=nf,
         )
         x_update = vec_at(update_rep.vector, 0) * self.cfg.node_positions_weight
         node_pos = node_pos + x_update
