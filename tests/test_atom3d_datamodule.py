@@ -9,6 +9,9 @@ import pytest
 
 from gcpnet_tpu.data.atom3d import ATOM3DDataModule
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
+
 ELEMENTS = np.asarray(["C", "N", "O", "S", "H"])
 
 

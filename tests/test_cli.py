@@ -11,6 +11,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import train as train_cli  # noqa: E402
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
+
 TINY = [
     "experiment=gcpnet_nms_small",
     "trainer.accelerator=cpu",

@@ -12,6 +12,9 @@ from gcpnet_tpu.graph import GraphData
 from gcpnet_tpu.models import GCPNetCPD
 from gcpnet_tpu.models.cpd_eval import evaluate_cpd
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
+
 RNG = np.random.default_rng(9)
 
 

@@ -12,6 +12,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import __graft_entry__ as graft  # noqa: E402
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
+
 
 def test_entry_forward():
     fn, (params, batch) = graft.entry()

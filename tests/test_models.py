@@ -146,6 +146,7 @@ def test_cpd_model_direct_and_autoregressive():
         run_model(model, batch, "GCPNetCPD")
 
 
+@pytest.mark.heavy
 def test_cpd_autoregressive_sampling():
     n = 10
     g = random_graph(

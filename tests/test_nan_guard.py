@@ -2,6 +2,7 @@
 untouched (reference skips backprop on invalid loss,
 gcpnet_ar_module.py:217-219; Adam moments must not move either)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +12,9 @@ from gcpnet_tpu.data.nms import NMSDataModule
 from gcpnet_tpu.models import GCPNetNMS, nms_loss
 from gcpnet_tpu.parallel import make_mesh
 from gcpnet_tpu.train import Trainer
+
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
 
 SMALL_CFG = dict(
     model_cfg=ModelCfg(

@@ -11,6 +11,9 @@ from gcpnet_tpu.models import GCPNetNMS, nms_loss
 from gcpnet_tpu.parallel import make_mesh
 from gcpnet_tpu.train import Trainer
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
+
 
 SMALL_CFG = dict(
     model_cfg=ModelCfg(

@@ -4,6 +4,7 @@ fresh trainer, continue training, loss keeps improving."""
 
 import os
 
+import pytest
 import jax
 import numpy as np
 
@@ -12,6 +13,9 @@ from gcpnet_tpu.data.nms import NMSDataModule
 from gcpnet_tpu.models import GCPNetNMS, nms_loss
 from gcpnet_tpu.parallel import make_mesh
 from gcpnet_tpu.train import Trainer
+
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
 
 
 def _parts(tmp_path):

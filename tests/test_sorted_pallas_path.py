@@ -16,6 +16,9 @@ from gcpnet_tpu.data.batching import (
 from gcpnet_tpu.graph import GraphData
 from gcpnet_tpu.models import GCPNetLBA, graph_regression_loss
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
+
 RNG = np.random.default_rng(3)
 
 

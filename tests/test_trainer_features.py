@@ -123,6 +123,7 @@ def test_sweep_space_parsing():
     assert value == min(t["value"] for t in trials)
 
 
+@pytest.mark.heavy
 def test_eval_scan_matches_per_batch(tmp_path):
     """Chunked (scan) evaluation must produce the same loss and collected
     metrics as the per-batch path."""
