@@ -128,6 +128,9 @@ def main():
         optimizer_cfg={"_target_": "Adam", "lr": 1e-4},
         mesh=mesh,
         early_stopping_patience=None,
+        # bf16 compute policy with fp32 masters — the production training
+        # configuration (the reference's AMP flag, trainer/default.yaml:15)
+        precision=16,
     )
     dev_batch = trainer._put(batch)
     trainer.init_state(dev_batch)
@@ -202,6 +205,7 @@ def main():
                 "achieved_tflops": round(achieved / 1e12, 3),
                 "mfu_vs_bf16_peak": round(achieved / peak, 5),
                 "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+                "precision": "bf16",
             }
         )
     )
