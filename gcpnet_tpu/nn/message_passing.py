@@ -57,8 +57,13 @@ class GCPMessagePassing(nn.Module):
         e_s, e_v = self.edge_dims
 
         # message = [src node SV ‖ edge SV ‖ dst node SV] (gcpnet.py:907-917)
-        src = node_rep.idx(senders)
-        dst = node_rep.idx(receivers)
+        # gather the flattened node features ONCE per endpoint: one [N, s+3v]
+        # gather (and one backward scatter-add) instead of two each — the
+        # profile shows these gathers/scatter-adds among the top ops
+        flat_nodes = node_rep.flatten()
+        v_dim = node_rep.dims[1]
+        src = ScalarVector.recover(flat_nodes[senders], v_dim)
+        dst = ScalarVector.recover(flat_nodes[receivers], v_dim)
         message = src.concat((edge_rep, dst))
 
         scalars_in = 2 * s_in + e_s
