@@ -28,6 +28,7 @@ class GCPNetAR(nn.Module):
     model_cfg: ModelCfg
     module_cfg: ModuleCfg
     layer_cfg: LayerCfg
+    remat: bool = False
     layer_class: str = "GCPInteractions2"
 
     @nn.compact
@@ -38,6 +39,7 @@ class GCPNetAR(nn.Module):
         )
         batch = batch.replace(x=centered)
         encoder = GCPNetEncoder(
+            remat=self.remat,
             model_cfg=self.model_cfg,
             module_cfg=self.module_cfg,
             layer_cfg=self.layer_cfg,

@@ -128,6 +128,10 @@ class GCPNetEncoder(nn.Module):
     updating_node_positions: bool = False
     embedding_pre_norm: bool = True
     embedding_nonlinearities: Optional[Tuple[Optional[str], Optional[str]]] = None
+    # rematerialize each interaction layer in the backward pass: trades
+    # recompute FLOPs for HBM activation traffic (often a win for this
+    # bandwidth-bound stack; set per-experiment via model_cfg)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -160,6 +164,10 @@ class GCPNetEncoder(nn.Module):
         node_rep, edge_rep = embed(batch, frames, edge_mask, count_mask)
 
         layer_cls = LAYER_CLASSES[self.layer_class]
+        if self.remat:
+            layer_cls = nn.remat(
+                layer_cls, static_argnums=(), prevent_cse=False
+            )
         for i in range(mc.num_encoder_layers):
             layer = layer_cls(
                 node_dims=node_dims,

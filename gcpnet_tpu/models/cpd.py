@@ -49,6 +49,7 @@ class GCPNetCPD(nn.Module):
     model_cfg: ModelCfg
     module_cfg: ModuleCfg
     layer_cfg: LayerCfg
+    remat: bool = False
     layer_class: str = "GCPInteractions"
     node_input_dims: Tuple[int, int] = (6, 3)
     edge_input_dims: Tuple[int, int] = (32, 1)

@@ -40,6 +40,7 @@ class GCPNetEQ(nn.Module):
     model_cfg: ModelCfg
     module_cfg: ModuleCfg
     layer_cfg: LayerCfg
+    remat: bool = False
     layer_class: str = "GCPInteractions2"
     num_atom_types: int = NUM_EQ_ATOM_TYPES
     num_residues: int = 0  # static padded residue count; 0 = infer from extras
@@ -62,6 +63,7 @@ class GCPNetEQ(nn.Module):
         batch = batch.replace(h=h)
 
         encoder = GCPNetEncoder(
+            remat=self.remat,
             model_cfg=mc,
             module_cfg=self.module_cfg,
             layer_cfg=self.layer_cfg,

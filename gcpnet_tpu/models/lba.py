@@ -31,6 +31,7 @@ class GCPNetLBA(nn.Module):
     model_cfg: ModelCfg
     module_cfg: ModuleCfg
     layer_cfg: LayerCfg
+    remat: bool = False
     layer_class: str = "GCPInteractions"
     num_atom_types: int = 9
 
@@ -42,6 +43,7 @@ class GCPNetLBA(nn.Module):
         )
         batch = batch.replace(x=centered)
         encoder = GCPNetEncoder(
+            remat=self.remat,
             model_cfg=mc,
             module_cfg=self.module_cfg,
             layer_cfg=self.layer_cfg,

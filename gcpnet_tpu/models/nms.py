@@ -26,6 +26,7 @@ class GCPNetNMS(nn.Module):
     model_cfg: ModelCfg
     module_cfg: ModuleCfg
     layer_cfg: LayerCfg
+    remat: bool = False
     layer_class: str = "GCPInteractions"
 
     @nn.compact
@@ -35,6 +36,7 @@ class GCPNetNMS(nn.Module):
         )
         batch = batch.replace(x=centered)
         encoder = GCPNetEncoder(
+            remat=self.remat,
             model_cfg=self.model_cfg,
             module_cfg=self.module_cfg,
             layer_cfg=self.layer_cfg,

@@ -32,6 +32,7 @@ class GCPNetRS(nn.Module):
     model_cfg: ModelCfg
     module_cfg: ModuleCfg
     layer_cfg: LayerCfg
+    remat: bool = False
     layer_class: str = "GCPInteractions"
 
     @nn.compact
@@ -42,6 +43,7 @@ class GCPNetRS(nn.Module):
         )
         batch = batch.replace(x=centered)
         encoder = GCPNetEncoder(
+            remat=self.remat,
             model_cfg=mc,
             module_cfg=self.module_cfg,
             layer_cfg=self.layer_cfg,
