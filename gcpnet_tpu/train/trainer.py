@@ -343,6 +343,8 @@ class Trainer:
         lr_scale = jnp.asarray(
             self.plateau.scale if self.plateau else 1.0, jnp.float32
         )
+        # losses stay on device until epoch end: forcing them per chunk
+        # would serialize dispatch with execution (costly on remote chips)
         losses = []
         t0 = time.time()
         n = 0
@@ -360,13 +362,13 @@ class Trainer:
                 self.state, loss, gnorm = self._train_scan(
                     self.state, stacked, rng, lr_scale
                 )
-                losses.append(float(loss))
+                losses.append(loss)
             else:
                 for b in chunk:
                     self.state, loss, gnorm = self._train_step(
                         self.state, self._put(b), rng, lr_scale
                     )
-                    losses.append(float(loss))
+                    losses.append(loss)
             n += len(chunk)
             chunk.clear()
 
@@ -387,7 +389,7 @@ class Trainer:
                 )
                 n += 1
                 if i % self.log_every_n_steps == 0:
-                    losses.append(float(loss))
+                    losses.append(loss)
         flush_chunk()
         # step-frequency checkpointing (the reference NStepModelCheckpoint,
         # src/utils/__init__.py:25)
