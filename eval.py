@@ -21,6 +21,9 @@ CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
 
 @task_wrapper
 def evaluate(cfg):
+    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+
     from train import _make_mesh_from_cfg, build_trainer
 
     from gcpnet_tpu.data.registry import build_datamodule
