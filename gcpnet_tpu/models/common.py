@@ -164,10 +164,23 @@ class GCPNetEncoder(nn.Module):
         node_rep, edge_rep = embed(batch, frames, edge_mask, count_mask)
 
         layer_cls = LAYER_CLASSES[self.layer_class]
-        if self.remat:
-            layer_cls = nn.remat(
-                layer_cls, static_argnums=(), prevent_cse=False
+
+        # ``deterministic`` (a Python bool) must stay STATIC under remat:
+        # binding it by closure keeps GCPDropout's `if deterministic` branch
+        # concrete while every array argument is passed (and saved) explicitly.
+        def run_layer(
+            mdl, nrep, erep, senders, receivers, frms,
+            nmask, npos, emask, cmask, rsplits,
+        ):
+            return mdl(
+                nrep, erep, senders, receivers, frms,
+                node_mask=nmask, node_pos=npos, edge_mask=emask,
+                count_mask=cmask, row_splits=rsplits,
+                deterministic=deterministic,
             )
+
+        run = nn.remat(run_layer, prevent_cse=False) if self.remat else run_layer
+
         for i in range(mc.num_encoder_layers):
             layer = layer_cls(
                 node_dims=node_dims,
@@ -178,18 +191,18 @@ class GCPNetEncoder(nn.Module):
                 updating_node_positions=self.updating_node_positions,
                 name=f"interaction_{i}",
             )
-            out = layer(
+            out = run(
+                layer,
                 node_rep,
                 edge_rep,
                 batch.senders,
                 batch.receivers,
                 frames,
-                node_mask=node_mask,
-                node_pos=node_pos,
-                edge_mask=edge_mask,
-                count_mask=count_mask,
-                row_splits=batch.edge_row_splits,
-                deterministic=deterministic,
+                node_mask,
+                node_pos,
+                edge_mask,
+                count_mask,
+                batch.edge_row_splits,
             )
             if self.updating_node_positions:
                 node_rep, node_pos = out

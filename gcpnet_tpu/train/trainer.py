@@ -344,8 +344,11 @@ class Trainer:
             self.plateau.scale if self.plateau else 1.0, jnp.float32
         )
         # losses stay on device until epoch end: forcing them per chunk
-        # would serialize dispatch with execution (costly on remote chips)
+        # would serialize dispatch with execution (costly on remote chips).
+        # Each entry carries its step count so a full scan chunk (a mean over
+        # K steps) and a single tail step weigh correctly in the epoch mean.
         losses = []
+        loss_weights = []
         t0 = time.time()
         n = 0
         chunk: list = []
@@ -363,12 +366,14 @@ class Trainer:
                     self.state, stacked, rng, lr_scale
                 )
                 losses.append(loss)
+                loss_weights.append(float(len(chunk)))
             else:
                 for b in chunk:
                     self.state, loss, gnorm = self._train_step(
                         self.state, self._put(b), rng, lr_scale
                     )
                     losses.append(loss)
+                    loss_weights.append(1.0)
             n += len(chunk)
             chunk.clear()
 
@@ -390,6 +395,7 @@ class Trainer:
                 n += 1
                 if i % self.log_every_n_steps == 0:
                     losses.append(loss)
+                    loss_weights.append(1.0)
         flush_chunk()
         # step-frequency checkpointing (the reference NStepModelCheckpoint,
         # src/utils/__init__.py:25)
@@ -400,7 +406,15 @@ class Trainer:
                 self._last_step_ckpt = step
         dt = time.time() - t0
         metrics = {
-            "train/loss": float(np.mean(losses)) if losses else float("nan"),
+            "train/loss": (
+                float(
+                    np.average(
+                        [float(l) for l in losses], weights=loss_weights
+                    )
+                )
+                if losses
+                else float("nan")
+            ),
             "train/steps_per_sec": n / max(dt, 1e-9),
         }
         return metrics

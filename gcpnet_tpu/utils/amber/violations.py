@@ -167,15 +167,20 @@ def between_residue_clashes(s: Structure) -> Dict[str, np.ndarray]:
 
     different_res = res_idx[:, None] != res_idx[None, :]
 
-    # exempt the peptide bond: C of residue r with N of residue r+1
+    # exempt ONLY the bonded peptide pair C(i)-N(i+1): directed, sequence-
+    # consecutive, same chain (amber_minimize semantics) — C(i) vs N(i-1)
+    # or any cross-chain C/N contact at adjacent dense indices is a real
+    # clash and must be counted
     names = [a.name for a in s.atoms]
     is_c = np.asarray([n == "C" for n in names])
     is_n = np.asarray([n == "N" for n in names])
-    neighbor = np.abs(res_idx[:, None].astype(np.int64) -
-                      res_idx[None, :].astype(np.int64)) == 1
-    peptide = neighbor & (
-        (is_c[:, None] & is_n[None, :]) | (is_n[:, None] & is_c[None, :])
-    )
+    resseq = np.asarray([a.resseq for a in s.atoms], dtype=np.int64)
+    chain_ids = {c: k for k, c in enumerate({a.chain for a in s.atoms})}
+    chain = np.asarray([chain_ids[a.chain] for a in s.atoms], dtype=np.int64)
+    same_chain = chain[:, None] == chain[None, :]
+    next_res = resseq[None, :] == resseq[:, None] + 1
+    bonded_cn = is_c[:, None] & is_n[None, :] & next_res & same_chain
+    peptide = bonded_cn | bonded_cn.T
     # exempt disulfides: SG-SG between cysteines
     is_sg = np.asarray(
         [a.name == "SG" and a.resname == "CYS" for a in s.atoms]

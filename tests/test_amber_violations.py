@@ -90,3 +90,52 @@ def test_relax_pipeline_requires_openmm():
     out = "/tmp/2CZOA_relaxed.pdb"
     assert relaxer.relax_pdb(REF_DECOY, out)
     assert os.path.exists(out)
+
+
+def _mk_atom(serial, name, resname, chain, resseq, x, y, z, element):
+    from gcpnet_tpu.data.pdb import AtomRecord
+
+    return AtomRecord(
+        serial=serial, name=name, altloc="", resname=resname, chain=chain,
+        resseq=resseq, icode="", x=x, y=y, z=z, occupancy=1.0, bfactor=0.0,
+        element=element,
+    )
+
+
+def test_peptide_clash_exemption_is_directed_and_chain_scoped():
+    """Only the bonded C(i)-N(i+1) pair (same chain) is exempt from the
+    clash check; C(i) against N(i-1) or a cross-chain C/N contact at
+    adjacent residue numbers counts as a clash (AlphaFold amber_minimize
+    semantics; ADVICE r2)."""
+    from gcpnet_tpu.data.pdb import Structure
+    from gcpnet_tpu.utils.amber.violations import between_residue_clashes
+
+    D = 1.3  # < C+N vdW overlap threshold (1.7 + 1.55 - 1.5 = 1.75)
+
+    # bonded C(1) -> N(2), same chain: exempt
+    s = Structure(atoms=[
+        _mk_atom(1, "C", "ALA", "A", 1, 0.0, 0.0, 0.0, "C"),
+        _mk_atom(2, "N", "ALA", "A", 2, D, 0.0, 0.0, "N"),
+    ])
+    assert not between_residue_clashes(s)["per_atom_clash_mask"].any()
+
+    # reversed direction: N(1) close to C(2) is NOT the peptide bond
+    s = Structure(atoms=[
+        _mk_atom(1, "N", "ALA", "A", 1, 0.0, 0.0, 0.0, "N"),
+        _mk_atom(2, "C", "ALA", "A", 2, D, 0.0, 0.0, "C"),
+    ])
+    assert between_residue_clashes(s)["per_atom_clash_mask"].all()
+
+    # cross-chain C/N at adjacent resseq: NOT exempt
+    s = Structure(atoms=[
+        _mk_atom(1, "C", "ALA", "A", 1, 0.0, 0.0, 0.0, "C"),
+        _mk_atom(2, "N", "ALA", "B", 2, D, 0.0, 0.0, "N"),
+    ])
+    assert between_residue_clashes(s)["per_atom_clash_mask"].all()
+
+    # non-consecutive resseq on the same chain: NOT exempt
+    s = Structure(atoms=[
+        _mk_atom(1, "C", "ALA", "A", 1, 0.0, 0.0, 0.0, "C"),
+        _mk_atom(2, "N", "ALA", "A", 3, D, 0.0, 0.0, "N"),
+    ])
+    assert between_residue_clashes(s)["per_atom_clash_mask"].all()

@@ -100,6 +100,57 @@ def test_lba_model():
     run_model(model, batch, "GCPNetLBA")
 
 
+def test_lba_model_remat_matches_plain():
+    """remat=True must (a) not crash on the static `deterministic` flag
+    (ADVICE r2) and (b) produce identical losses/grads to the plain path,
+    including with dropout active."""
+    graphs = [
+        random_graph(20, 60, 0, 2, 16, 1, int_h=True,
+                     extras={"label": np.float32(1.5)})
+        for _ in range(2)
+    ]
+    batch = make_batch(graphs, extra_graph_keys=("label",))
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def build(remat):
+        return GCPNetLBA(
+            model_cfg=ModelCfg(
+                chi_input_dim=2, e_input_dim=16, xi_input_dim=1,
+                h_hidden_dim=32, chi_hidden_dim=8, e_hidden_dim=16,
+                xi_hidden_dim=4, num_encoder_layers=2, dropout=0.1,
+            ),
+            module_cfg=ModuleCfg(),
+            layer_cfg=_small_layer_cfg(),
+            num_atom_types=9,
+            remat=remat,
+        )
+
+    plain, rem = build(False), build(True)
+    params = jax.jit(plain.init, static_argnums=(2,))(
+        jax.random.key(0), batch, True
+    )
+
+    def loss_of(model, p, deterministic):
+        def f(p):
+            out = model.apply(
+                p, batch, deterministic,
+                rngs=None if deterministic else {"dropout": jax.random.key(7)},
+            )
+            loss, _ = LOSS_REGISTRY["GCPNetLBA"](out, batch)
+            return loss
+
+        return jax.jit(jax.value_and_grad(f))(p)
+
+    for det in (True, False):
+        l0, g0 = loss_of(plain, params, det)
+        l1, g1 = loss_of(rem, params, det)
+        assert np.isfinite(float(l0))
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g0, g1
+        )
+
+
 def test_rs_model():
     graphs = [
         random_graph(16, 30, 52, 2, 30, 1, extras={"label": np.float32(1.0)})
