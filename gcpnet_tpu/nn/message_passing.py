@@ -18,9 +18,23 @@ from flax import linen as nn
 from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.primitives import ScalarVector
-from gcpnet_tpu.ops.segment import segment_mean, segment_sum
+from gcpnet_tpu.ops.pallas_fused import (
+    fused_edge_map_segment_sum,
+    fused_enabled,
+)
+from gcpnet_tpu.ops.segment import segment_count, segment_mean, segment_sum
 
 Array = jax.Array
+
+
+def build_unbound(spec):
+    """An unbound GCP module def with the same config as a stack entry —
+    applied to VMEM-resident chunks inside the fused kernel."""
+    kw = dict(spec)
+    return make_gcp(
+        kw.pop("input_dims"), kw.pop("output_dims"), kw.pop("cfg"),
+        name=None, **kw,
+    )
 
 
 class GCPMessagePassing(nn.Module):
@@ -76,77 +90,223 @@ class GCPMessagePassing(nn.Module):
             vector_residual=self.cfg.default_vector_residual,
         )
         n_layers = mp_cfg.num_message_layers
-        stack = [
-            make_gcp(
-                (scalars_in, vectors_in),
-                self.output_dims,
-                self.cfg,
-                name="message_fusion_0",
+        specs = [
+            dict(
+                input_dims=(scalars_in, vectors_in),
+                output_dims=self.output_dims,
+                cfg=self.cfg,
                 nonlinearities=self.cfg.nonlinearities if n_layers > 1 else None,
                 **soft,
             )
         ]
-        for i in range(max(0, n_layers - 2)):
-            stack.append(
-                make_gcp(
-                    self.output_dims,
-                    self.output_dims,
-                    self.cfg,
-                    name=f"message_fusion_{i + 1}",
+        for _ in range(max(0, n_layers - 2)):
+            specs.append(
+                dict(
+                    input_dims=self.output_dims,
+                    output_dims=self.output_dims,
+                    cfg=self.cfg,
                 )
             )
         if n_layers > 1:
-            stack.append(
-                make_gcp(
-                    self.output_dims,
-                    self.output_dims,
-                    self.cfg,
-                    name=f"message_fusion_{n_layers - 1}",
+            specs.append(
+                dict(
+                    input_dims=self.output_dims,
+                    output_dims=self.output_dims,
+                    cfg=self.cfg,
                     nonlinearities=(None, None),
                     **soft,
                 )
             )
 
+        def build(spec, i, name=True):
+            kw = dict(spec)
+            return make_gcp(
+                kw.pop("input_dims"),
+                kw.pop("output_dims"),
+                kw.pop("cfg"),
+                name=f"message_fusion_{i}" if name else None,
+                **kw,
+            )
+
+        stack = [build(s, i) for i, s in enumerate(specs)]
+
         fm = frame_mask if frame_mask is not None else edge_mask
 
-        def run(module, rep):
+        def run(module, rep, frm=frames, emask=fm):
             return module(
                 rep,
                 senders,
                 receivers,
-                frames,
+                frm,
                 node_inputs=False,
-                edge_mask=fm,
+                edge_mask=emask,
                 count_mask=count_mask,
             )
 
-        if mp_cfg.use_residual_message_gcp:
-            # ResGCP: residual connections between message layers
-            residual = run(stack[0], message)
-            for module in stack[1:]:
-                residual = residual + run(module, residual)
-        else:
-            residual = message
-            for module in stack:
-                residual = run(module, residual)
+        def run_stack(run_fn, rep):
+            if mp_cfg.use_residual_message_gcp:
+                # ResGCP: residual connections between message layers
+                residual = run_fn(0, rep)
+                for i in range(1, len(stack)):
+                    residual = residual + run_fn(i, residual)
+                return residual
+            residual = rep
+            for i in range(len(stack)):
+                residual = run_fn(i, residual)
+            return residual
 
-        if self.use_scalar_message_attention:
-            attn = jax.nn.sigmoid(
-                Dense(1, name="scalar_message_attention")(residual.scalar)
-            )
-            residual = ScalarVector(residual.scalar * attn, residual.vector)
-
-        flat = residual.flatten()
         ids = senders if self.aggregate_with_row else receivers
-        # receiver-sorted layouts ride the Pallas MXU segment kernel
         rs = None if self.aggregate_with_row else row_splits
-        if self.reduce_function == "mean":
-            agg = segment_mean(
-                flat, ids, num_nodes, mask=edge_mask, count_mask=count_mask,
-                row_splits=rs,
-            )
-        elif self.reduce_function in ("sum", "add"):
-            agg = segment_sum(flat, ids, num_nodes, mask=edge_mask, row_splits=rs)
-        else:
+        if self.reduce_function not in ("mean", "sum", "add"):
             raise ValueError(f"unknown reduce_function {self.reduce_function!r}")
-        return ScalarVector.recover(agg, self.output_dims[1])
+
+        use_fused = (
+            rs is not None
+            and fused_enabled()
+            and not self.is_initializing()
+        )
+        if use_fused:
+            agg = self._fused_aggregate(
+                specs, stack, message, frames, fm, edge_mask, rs, num_nodes,
+                run, run_stack,
+            )
+        else:
+            residual = run_stack(lambda i, rep: run(stack[i], rep), message)
+            if self.use_scalar_message_attention:
+                attn = jax.nn.sigmoid(
+                    Dense(1, name="scalar_message_attention")(residual.scalar)
+                )
+                residual = ScalarVector(residual.scalar * attn, residual.vector)
+            flat = residual.flatten()
+            # receiver-sorted layouts ride the Pallas MXU segment kernel
+            if self.reduce_function == "mean":
+                agg = segment_mean(
+                    flat, ids, num_nodes, mask=edge_mask,
+                    count_mask=count_mask, row_splits=rs,
+                )
+            else:
+                agg = segment_sum(
+                    flat, ids, num_nodes, mask=edge_mask, row_splits=rs
+                )
+            agg = ScalarVector.recover(agg, self.output_dims[1])
+
+        if self.reduce_function == "mean" and use_fused:
+            cm = count_mask if count_mask is not None else edge_mask
+            count = segment_count(
+                ids, num_nodes, mask=cm, dtype=jnp.float32
+            )
+            count = jnp.maximum(count, 1.0).astype(agg.scalar.dtype)
+            agg = ScalarVector(
+                agg.scalar / count[:, None], agg.vector / count[:, None]
+            )
+        return agg
+
+    def _fused_aggregate(
+        self, specs, stack, message, frames, frame_mask, agg_mask,
+        row_splits, num_nodes, run, run_stack,
+    ) -> ScalarVector:
+        """Run the whole message stack + attention + segment reduction in
+        one VMEM-resident Pallas kernel (ops.pallas_fused).
+
+        The bound ``stack`` modules are touched once on a single dummy row
+        (XLA dead-code-eliminates the compute) so their parameters exist
+        under the SAME names as the unfused path — checkpoints are
+        interchangeable; the kernel re-applies unbound clones of the same
+        module definitions to VMEM-resident chunks.
+        """
+        s_dim, v_dim = self.output_dims
+        ms, mv = message.dims
+        dtype = message.scalar.dtype
+
+        # touch params: 1-row dummy through the real modules (and read them)
+        dummy_rep = ScalarVector(
+            jnp.zeros((1, ms), dtype), jnp.zeros((1, 3 * mv), dtype)
+        )
+        dummy_frames = jnp.zeros((1, 9), dtype)
+        dummy_mask = jnp.ones((1,), dtype)
+        run_stack(
+            lambda i, rep: run(
+                stack[i], rep, frm=dummy_frames, emask=dummy_mask
+            ),
+            dummy_rep,
+        )
+        stack_params = [m.variables["params"] for m in stack]
+        attn = None
+        attn_params = None
+        if self.use_scalar_message_attention:
+            attn = Dense(1, name="scalar_message_attention")
+            attn(jnp.zeros((1, s_dim), dtype))
+            attn_params = attn.variables["params"]
+
+        # unbound clones with identical configs for in-kernel application
+        kernel_stack = [build_unbound(spec) for spec in specs]
+        kernel_attn = Dense(1) if attn is not None else None
+
+        fmask_col = (
+            jnp.ones((message.scalar.shape[0], 1), dtype)
+            if frame_mask is None
+            else frame_mask.astype(dtype)[:, None]
+        )
+        amask_col = (
+            jnp.ones((message.scalar.shape[0], 1), dtype)
+            if agg_mask is None
+            else agg_mask.astype(dtype)[:, None]
+        )
+        edge_data = jnp.concatenate(
+            [
+                message.flatten(),
+                frames.astype(dtype),
+                jax.lax.stop_gradient(fmask_col),
+                jax.lax.stop_gradient(amask_col),
+            ],
+            axis=-1,
+        )
+        base = ms + 3 * mv
+        out_dim = s_dim + 3 * v_dim
+        use_residual = self.layer_cfg.mp_cfg.use_residual_message_gcp
+        use_attn = self.use_scalar_message_attention
+
+        def stack_fn(params, chunk):
+            s = chunk[:, :ms]
+            v = chunk[:, ms:base]
+            fr = chunk[:, base : base + 9]
+            fmask = chunk[:, base + 9]
+            amask = chunk[:, base + 10]
+            rep = ScalarVector(s, v)
+
+            def run_k(i, r):
+                return kernel_stack[i].apply(
+                    {"params": params["stack"][i]},
+                    r,
+                    None,
+                    None,
+                    fr,
+                    node_inputs=False,
+                    edge_mask=fmask,
+                    count_mask=None,
+                )
+
+            if use_residual:
+                residual = run_k(0, rep)
+                for i in range(1, len(kernel_stack)):
+                    residual = residual + run_k(i, residual)
+            else:
+                residual = rep
+                for i in range(len(kernel_stack)):
+                    residual = run_k(i, residual)
+            if use_attn:
+                a = jax.nn.sigmoid(
+                    kernel_attn.apply(
+                        {"params": params["attn"]}, residual.scalar
+                    )
+                )
+                residual = ScalarVector(residual.scalar * a, residual.vector)
+            return residual.flatten() * amask[:, None]
+
+        params = {"stack": stack_params}
+        if attn_params is not None:
+            params["attn"] = attn_params
+        agg = fused_edge_map_segment_sum(
+            stack_fn, params, edge_data, row_splits, num_nodes, out_dim
+        )
+        return ScalarVector.recover(agg, v_dim)
