@@ -16,17 +16,28 @@ PyTorch+PyG on A100, i.e. ~355 graphs/s).  The BASELINE.json north-star is
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
 
+# Estimate of the PyTorch reference's A100 throughput for this model/batch
+# (the reference publishes no throughput numbers; assumes ~45 ms/step).
+# ms_per_step and MFU are the defensible measurements — see RESULTS.md.
 REFERENCE_A100_GRAPHS_PER_SEC = 355.0
+BASELINE_IS_ESTIMATE = True
 
 NODES_PER_GRAPH = 448
 EDGES_PER_GRAPH = 28 * 448
 GRAPHS_PER_BATCH = 16
+# edge-budget slack for the 128-edge tile alignment of the sorted layout
+# (identical budget for every variant so the comparison is fair)
+EDGE_SLACK = 64 * 128
+# aggregation-path variant: fused (production default) | sorted | plain;
+# "all" prints one JSON line per variant (last = headline)
+VARIANT = os.environ.get("BENCH_VARIANT", "fused")
 # Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
 # and the loss is fetched to the host (a hard sync even on remote-tunneled
 # backends where block_until_ready under-reports).  Differencing two loop
@@ -66,19 +77,26 @@ def _cost_flops(step, *args) -> float:
         return 0.0
 
 
-def main():
+def run_variant(variant: str) -> dict:
     import jax
     import jax.numpy as jnp
 
     from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
 
+    import gcpnet_tpu.ops.pallas_fused as pallas_fused
+    import gcpnet_tpu.ops.segment as segment_ops
     from gcpnet_tpu.config.schema import LayerCfg, MPCfg, ModelCfg, ModuleCfg
-    from gcpnet_tpu.data.batching import Bucket, collate_shards
+    from gcpnet_tpu.data.batching import (
+        Bucket, collate_shards, sort_edges_by_receiver,
+    )
     from gcpnet_tpu.graph import GraphData
     from gcpnet_tpu.models import GCPNetLBA, graph_regression_loss
     from gcpnet_tpu.parallel import make_mesh
     from gcpnet_tpu.train import Trainer
+
+    pallas_fused.USE_FUSED_MESSAGE = variant == "fused"
+    segment_ops.USE_PALLAS_SEGMENT = variant in ("fused", "sorted")
 
     rng = np.random.default_rng(0)
 
@@ -100,7 +118,7 @@ def main():
 
     bucket = Bucket(
         num_nodes=NODES_PER_GRAPH * GRAPHS_PER_BATCH,
-        num_edges=EDGES_PER_GRAPH * GRAPHS_PER_BATCH,
+        num_edges=EDGES_PER_GRAPH * GRAPHS_PER_BATCH + EDGE_SLACK,
         num_graphs=GRAPHS_PER_BATCH,
     )
     batch = collate_shards(
@@ -108,6 +126,11 @@ def main():
         bucket,
         extra_graph_keys=("label",),
     )
+    if variant in ("fused", "sorted"):
+        batch = sort_edges_by_receiver(batch)
+        assert batch.edge_row_splits is not None, (
+            "edge budget lacks alignment slack for the sorted layout"
+        )
 
     model_cfg = ModelCfg(
         chi_input_dim=2, e_input_dim=16, xi_input_dim=1,
@@ -190,25 +213,38 @@ def main():
     graphs_per_sec = GRAPHS_PER_BATCH / step_time
     peak = _peak_flops(jax.devices()[0])
     achieved = flops_per_step / step_time if flops_per_step else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "lba_train_throughput",
-                "value": round(graphs_per_sec, 2),
-                "unit": "graphs/sec/chip",
-                "vs_baseline": round(
-                    graphs_per_sec / REFERENCE_A100_GRAPHS_PER_SEC, 3
-                ),
-                "ms_per_step": round(step_time * 1e3, 3),
-                "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
-                "flops_per_step": flops_per_step,
-                "achieved_tflops": round(achieved / 1e12, 3),
-                "mfu_vs_bf16_peak": round(achieved / peak, 5),
-                "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
-                "precision": "bf16",
-            }
-        )
-    )
+    return {
+        "metric": "lba_train_throughput",
+        "value": round(graphs_per_sec, 2),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(
+            graphs_per_sec / REFERENCE_A100_GRAPHS_PER_SEC, 3
+        ),
+        "baseline_is_estimate": BASELINE_IS_ESTIMATE,
+        "variant": variant,
+        "ms_per_step": round(step_time * 1e3, 3),
+        "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
+        "flops_per_step": flops_per_step,
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_vs_bf16_peak": round(achieved / peak, 5),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "precision": "bf16",
+    }
+
+
+def main():
+    if VARIANT == "all":
+        # one subprocess per variant: a second jitted trainer in the same
+        # process measures slower (stale executables/pinned buffers —
+        # RESULTS.md operational notes)
+        import subprocess
+
+        for v in ("plain", "sorted", "fused"):
+            env = dict(os.environ, BENCH_VARIANT=v)
+            subprocess.run([sys.executable, __file__], env=env, check=True)
+        return
+    print(json.dumps(run_variant(VARIANT)))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -130,10 +130,104 @@ class WandbLogger(BaseLogger):
             self.run.finish()
 
 
+class CometLogger(BaseLogger):
+    """comet.ml backend (reference configs/logger/comet.yaml); degrades to
+    a no-op when comet_ml is not installed."""
+
+    def __init__(self, project_name: str = "GCPNet", offline: bool = True,
+                 save_dir: Optional[str] = None, **kwargs):
+        self.exp = None
+        try:
+            import comet_ml
+
+            cls = comet_ml.OfflineExperiment if offline else comet_ml.Experiment
+            self.exp = cls(
+                project_name=project_name,
+                offline_directory=save_dir or ".",
+            )
+        except Exception:
+            pass
+
+    def log_metrics(self, metrics: Dict, step: Optional[int] = None):
+        if self.exp is not None:
+            self.exp.log_metrics(metrics, step=step)
+
+    def log_hyperparams(self, params: Dict):
+        if self.exp is not None:
+            self.exp.log_parameters(params)
+
+    def finalize(self):
+        if self.exp is not None:
+            self.exp.end()
+
+
+class MLFlowLogger(BaseLogger):
+    """mlflow backend (reference configs/logger/mlflow.yaml); no-op without
+    the mlflow package."""
+
+    def __init__(self, tracking_uri: Optional[str] = None,
+                 experiment_name: str = "gcpnet-tpu", **kwargs):
+        self.mlflow = None
+        try:
+            import mlflow
+
+            if tracking_uri:
+                mlflow.set_tracking_uri(tracking_uri)
+            mlflow.set_experiment(experiment_name)
+            mlflow.start_run()
+            self.mlflow = mlflow
+        except Exception:
+            pass
+
+    def log_metrics(self, metrics: Dict, step: Optional[int] = None):
+        if self.mlflow is not None:
+            self.mlflow.log_metrics(
+                {k: float(v) for k, v in metrics.items()}, step=step
+            )
+
+    def log_hyperparams(self, params: Dict):
+        if self.mlflow is not None:
+            self.mlflow.log_params(params)
+
+    def finalize(self):
+        if self.mlflow is not None:
+            self.mlflow.end_run()
+
+
+class NeptuneLogger(BaseLogger):
+    """neptune.ai backend (reference configs/logger/neptune.yaml); no-op
+    without the neptune package."""
+
+    def __init__(self, project: Optional[str] = None, **kwargs):
+        self.run = None
+        try:
+            import neptune
+
+            self.run = neptune.init_run(project=project)
+        except Exception:
+            pass
+
+    def log_metrics(self, metrics: Dict, step: Optional[int] = None):
+        if self.run is not None:
+            for k, v in metrics.items():
+                self.run[k].append(float(v), step=step)
+
+    def log_hyperparams(self, params: Dict):
+        if self.run is not None:
+            self.run["parameters"] = params
+
+    def finalize(self):
+        if self.run is not None:
+            self.run.stop()
+
+
 LOGGER_CLASSES = {
     "CSVLogger": CSVLogger,
     "TensorBoardLogger": TensorBoardLogger,
     "WandbLogger": WandbLogger,
+    "CometLogger": CometLogger,
+    "MLFlowLogger": MLFlowLogger,
+    "NeptuneLogger": NeptuneLogger,
 }
 
 

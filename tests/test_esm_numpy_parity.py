@@ -1,0 +1,150 @@
+"""Offline ESM-2 parity: an INDEPENDENT numpy re-derivation of the
+published fair-esm ESM-2 forward (Lin et al. 2023; pre-LN encoder, rotary
+q/k on the full head dim, query pre-scaling before RoPE, exact-erf GELU,
+mask-token-dropout rescale, final LN) is evaluated in float64 against the
+flax port on the same weights.
+
+This runs in THIS environment (no torch/transformers needed) — the
+HF-reference parity test (tests/test_esm_parity.py) additionally runs
+where transformers is installed.  Two independently written
+implementations agreeing at 1e-5 is the offline-verifiable evidence that
+the flax port encodes the published architecture, not merely itself.
+"""
+
+import numpy as np
+import jax
+
+from gcpnet_tpu.nn.esm import (
+    ESM2,
+    ESM2Config,
+    MASK_ID,
+    MASK_RATIO_TRAIN,
+    PAD_ID,
+    tokenize,
+)
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (written from the fair-esm esm2.py / rotary_embedding.py
+# description, NOT from gcpnet_tpu.nn.esm: explicit per-head loops, pairwise
+# rotary rotation built from angle tables, float64 throughout)
+# ---------------------------------------------------------------------------
+
+def _np_layer_norm(x, scale, bias, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def _np_gelu(x):
+    from math import sqrt
+
+    from scipy import special  # exact erf
+
+    return 0.5 * x * (1.0 + special.erf(x / sqrt(2.0)))
+
+
+def _np_rope(x_t, pos, head_dim):
+    """Rotate one [head_dim] vector at position ``pos``: fair-esm rotates
+    the (i, i + head_dim/2) coordinate pairs by pos * theta_i."""
+    half = head_dim // 2
+    out = np.empty_like(x_t)
+    for i in range(half):
+        theta = pos / (10000.0 ** (2.0 * i / head_dim))
+        c, s = np.cos(theta), np.sin(theta)
+        a, b = x_t[i], x_t[i + half]
+        out[i] = a * c - b * s
+        out[i + half] = a * s + b * c
+    return out
+
+
+def esm2_forward_numpy(params, cfg: ESM2Config, tokens: np.ndarray):
+    p = params["params"]
+    eps = cfg.layer_norm_eps
+    B, T = tokens.shape
+    D, H = cfg.embed_dim, cfg.num_heads
+    hd = D // H
+
+    pad_mask = tokens != PAD_ID
+    x = np.asarray(p["embed_tokens"]["embedding"], np.float64)[tokens]
+
+    if cfg.token_dropout:
+        x[tokens == MASK_ID] = 0.0
+        src_len = pad_mask.sum(-1)
+        obs = (tokens == MASK_ID).sum(-1) / np.maximum(src_len, 1)
+        x *= ((1.0 - MASK_RATIO_TRAIN) / (1.0 - obs))[:, None, None]
+    x *= pad_mask[..., None]
+
+    def dense(name_tree, v):
+        return v @ np.asarray(name_tree["kernel"], np.float64) + np.asarray(
+            name_tree["bias"], np.float64
+        )
+
+    for li in range(cfg.num_layers):
+        lp = p[f"layers_{li}"]
+        # --- attention block (pre-LN) ---
+        h = _np_layer_norm(
+            x,
+            np.asarray(lp["self_attn_layer_norm"]["scale"], np.float64),
+            np.asarray(lp["self_attn_layer_norm"]["bias"], np.float64),
+            eps,
+        )
+        q = dense(lp["self_attn"]["q_proj"], h) / np.sqrt(hd)
+        k = dense(lp["self_attn"]["k_proj"], h)
+        v = dense(lp["self_attn"]["v_proj"], h)
+        attn_out = np.zeros_like(h)
+        for b in range(B):
+            for head in range(H):
+                sl = slice(head * hd, (head + 1) * hd)
+                qh = np.stack(
+                    [_np_rope(q[b, t, sl], t, hd) for t in range(T)]
+                )
+                kh = np.stack(
+                    [_np_rope(k[b, t, sl], t, hd) for t in range(T)]
+                )
+                logits = qh @ kh.T
+                logits[:, ~pad_mask[b]] = -1e30
+                w = np.exp(logits - logits.max(-1, keepdims=True))
+                w /= w.sum(-1, keepdims=True)
+                attn_out[b, :, sl] = w @ v[b, :, sl]
+        x = x + dense(lp["self_attn"]["out_proj"], attn_out)
+
+        # --- FFN block (pre-LN) ---
+        h = _np_layer_norm(
+            x,
+            np.asarray(lp["final_layer_norm"]["scale"], np.float64),
+            np.asarray(lp["final_layer_norm"]["bias"], np.float64),
+            eps,
+        )
+        h = _np_gelu(dense(lp["fc1"], h))
+        x = x + dense(lp["fc2"], h)
+
+    return _np_layer_norm(
+        x,
+        np.asarray(p["emb_layer_norm_after"]["scale"], np.float64),
+        np.asarray(p["emb_layer_norm_after"]["bias"], np.float64),
+        eps,
+    )
+
+
+def test_flax_esm2_matches_numpy_rederivation():
+    cfg = ESM2Config(
+        num_layers=2, embed_dim=64, num_heads=4, vocab_size=33,
+        token_dropout=True,
+    )
+    seqs = ["MKTAYIAKQR", "GAVLIFW"]
+    max_len = max(len(s) for s in seqs) + 2
+    toks = np.full((len(seqs), max_len), PAD_ID, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        t = tokenize(s)
+        toks[i, : len(t)] = t
+    # include a <mask> token so the token-dropout rescale path is exercised
+    toks[0, 3] = MASK_ID
+
+    model = ESM2(cfg)
+    params = model.init(jax.random.key(0), toks)
+    mine = np.asarray(model.apply(params, toks), np.float64)
+    ref = esm2_forward_numpy(jax.device_get(params), cfg, toks)
+
+    valid = toks != PAD_ID
+    np.testing.assert_allclose(mine[valid], ref[valid], atol=1e-5, rtol=1e-5)
