@@ -47,6 +47,23 @@ def make_torch_bias_init(fan_in: int):
     return init
 
 
+def _tile3(x):
+    """Repeat per-channel gates across the three packed xyz blocks.
+    (Semantics of ``jnp.tile(x, (1, 3))``; written as a concat because
+    Mosaic cannot lower tile's intermediate reshape inside Pallas kernels.)"""
+    return jnp.concatenate([x, x, x], axis=-1)
+
+
+def _mm(x: Array, kernel: Array) -> Array:
+    """Matmul with an explicit f32 accumulator, rounded back to the input
+    dtype.  Identical to ``x @ kernel`` under XLA (TPU bf16 matmuls already
+    accumulate in f32); REQUIRED inside Pallas kernels, where Mosaic rejects
+    bf16 accumulators outright."""
+    return jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+
+
 class Dense(nn.Module):
     """nn.Dense with torch-style init."""
 
@@ -57,7 +74,7 @@ class Dense(nn.Module):
     def __call__(self, x: Array) -> Array:
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_kernel_init, (fan_in, self.features))
-        y = x @ kernel
+        y = _mm(x, kernel.astype(x.dtype))
         if self.use_bias:
             bias = self.param("bias", make_torch_bias_init(fan_in), (self.features,))
             y = y + bias
@@ -82,8 +99,11 @@ class VecDense(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         kernel = self.param("kernel", init, (din, self.features))
+        kernel = kernel.astype(vp.dtype)
         x, y, z = vec_components(vp)
-        return jnp.concatenate([x @ kernel, y @ kernel, z @ kernel], axis=-1)
+        return jnp.concatenate(
+            [_mm(x, kernel), _mm(y, kernel), _mm(z, kernel)], axis=-1
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,15 +275,15 @@ class GCP2(nn.Module):
                     node_frames=node_frames,
                 )
                 gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
-                new_vector = v_up * jnp.tile(
-                    act_v(safe_vec_norm(gate_vector_rep)), (1, 3)
+                new_vector = v_up * _tile3(
+                    act_v(safe_vec_norm(gate_vector_rep))
                 )
             elif st.vector_gate:
                 gate = Dense(v_out, name="vector_out_scale")(act_v(scalar_rep))
-                new_vector = v_up * jnp.tile(jax.nn.sigmoid(gate), (1, 3))
+                new_vector = v_up * _tile3(jax.nn.sigmoid(gate))
             elif not is_identity(st.vector_nonlinearity):
-                new_vector = v_up * jnp.tile(
-                    act_v(safe_vec_norm(v_up)), (1, 3)
+                new_vector = v_up * _tile3(
+                    act_v(safe_vec_norm(v_up))
                 )
             else:
                 new_vector = v_up
@@ -342,10 +362,10 @@ class GCP(nn.Module):
                 v_up = v_up + vector_rep
             if st.vector_gate:
                 gate = Dense(v_out, name="vector_out_scale")(act_v(scalar_rep))
-                new_vector = v_up * jnp.tile(jax.nn.sigmoid(gate), (1, 3))
+                new_vector = v_up * _tile3(jax.nn.sigmoid(gate))
             elif not is_identity(st.vector_nonlinearity):
-                new_vector = v_up * jnp.tile(
-                    act_v(safe_vec_norm(v_up)), (1, 3)
+                new_vector = v_up * _tile3(
+                    act_v(safe_vec_norm(v_up))
                 )
             else:
                 new_vector = v_up
@@ -393,7 +413,7 @@ class GCP(nn.Module):
                 gate = Dense(v_out, name="vector_out_scale_sigma_frames")(
                     act_v(scalar_rep)
                 )
-                new_vector = v_pre * jnp.tile(jax.nn.sigmoid(gate), (1, 3))
+                new_vector = v_pre * _tile3(jax.nn.sigmoid(gate))
             elif st.frame_gate:
                 gate = Dense(st.sv_dim * 3, name="vector_out_scale_frames")(
                     act_v(scalar_rep)
@@ -410,14 +430,14 @@ class GCP(nn.Module):
                     node_frames=node_frames,
                 )
                 gate_vector_rep = VecDense(v_out, name="vector_up_frames")(gate_vector)
-                new_vector = v_pre * jnp.tile(
-                    act_v(safe_vec_norm(gate_vector_rep)), (1, 3)
+                new_vector = v_pre * _tile3(
+                    act_v(safe_vec_norm(gate_vector_rep))
                 )
                 if st.vector_frame_residual:
                     new_vector = new_vector + v_pre
             elif not is_identity(st.vector_nonlinearity):
-                new_vector = v_pre * jnp.tile(
-                    act_v(safe_vec_norm(v_pre)), (1, 3)
+                new_vector = v_pre * _tile3(
+                    act_v(safe_vec_norm(v_pre))
                 )
 
         scalar_rep = act_s(scalar_rep)

@@ -677,3 +677,86 @@ def eq_forward(
     y = np.maximum(y, 0.0)
     y = dense(params["dense_1"], y)
     return y[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# CPD — gcpnet_cpd_module.py:154-222 (masked centralize/localize + AR decoder)
+# ---------------------------------------------------------------------------
+
+def centralize_masked(x, batch_index, num_graphs, node_mask):
+    """Masked centralize: centroid over unmasked nodes; masked rows zero
+    (the reference writes inf sentinels there, components/__init__.py:187 —
+    they never reach a valid output, so zeros are the mask-safe equal)."""
+    centroid = np.zeros((num_graphs, 3))
+    cnt = np.zeros(num_graphs)
+    np.add.at(centroid, batch_index[node_mask], x[node_mask])
+    np.add.at(cnt, batch_index[node_mask], 1.0)
+    centroid = centroid / np.maximum(cnt, 1.0)[:, None]
+    centered = (x - centroid[batch_index]) * node_mask[:, None]
+    return centroid, centered
+
+
+def localize_masked(x, row, col, node_mask, norm_x_diff=True):
+    emask = node_mask[row] & node_mask[col]
+    frames = localize(x, row, col, norm_x_diff=norm_x_diff)
+    return frames * emask[:, None, None]
+
+
+def cpd_forward(
+    params, h, chi, e, xi, x, seq, row, col, batch_index, num_graphs, *,
+    node_in_dims=(6, 3), edge_in_dims=(32, 1), node_dims=(16, 4),
+    edge_dims=(8, 4), vocab=20, num_encoder_layers=2, num_decoder_layers=2,
+    num_message_layers=2, node_mask=None, autoregressive=True,
+    nonlinearities=("relu", None), module_frame_gate=False,
+):
+    """GCPNetCPDLitModule.forward with the autoregressive decoder: encoder
+    trunk, causally-masked sequence embeddings injected into edge scalars
+    (row >= col zeroed), decoder layers in autoregressive mode, invariant
+    projection to logits."""
+    if node_mask is None:
+        node_mask = np.ones(h.shape[0], bool)
+    _, x = centralize_masked(x, batch_index, num_graphs, node_mask)
+    frames = localize_masked(x, row, col, node_mask)
+    (hn, chin), (en, xin) = embedding_forward(
+        params["gcp_embedding"], h, chi, e, xi, row, col, frames,
+        node_in_dims=node_in_dims, node_hidden_dims=node_dims,
+        edge_in_dims=edge_in_dims, edge_hidden_dims=edge_dims,
+        num_atom_types=0, pre_norm=False, node_mask=node_mask,
+    )
+    for i in range(num_encoder_layers):
+        (hn, chin), _ = interactions_forward(
+            params[f"encoder_{i}"], (hn, chin), (en, xin), row, col, frames,
+            node_dims=node_dims, edge_dims=edge_dims,
+            num_message_layers=num_message_layers,
+            nonlinearities=nonlinearities, node_mask=node_mask,
+        )
+
+    if autoregressive:
+        enc_rep = (hn, chin)
+        emb = np.asarray(params["seq_embedding"]["embedding"], np.float64)
+        seq_e = emb[seq.astype(int)][row]
+        seq_e[row >= col] = 0.0
+        en2 = np.concatenate([en, seq_e], axis=-1)
+        # decoder cfg rewiring (gcpnet_cpd_module.py:95-98): vector_gate
+        # takes the module's frame_gate, frame updates ablated
+        dec_kwargs = dict(
+            vector_gate=module_frame_gate, frame_gate=False,
+            ablate_frame_updates=True,
+        )
+        for i in range(num_decoder_layers):
+            (hn, chin), _ = interactions_forward(
+                params[f"decoder_{i}"], (hn, chin), (en2, xin), row, col,
+                frames, node_dims=node_dims,
+                edge_dims=(edge_dims[0] + vocab, edge_dims[1]),
+                num_message_layers=num_message_layers,
+                nonlinearities=nonlinearities, node_mask=node_mask,
+                autoregressive_sv=enc_rep, gcp_kwargs=dec_kwargs,
+            )
+
+    out, _ = gcp2_forward(
+        params["invariant_node_projection"], hn, chin, row, col, frames,
+        node_inputs=True, node_mask=node_mask,
+        in_dims=node_dims, out_dims=(vocab if autoregressive else node_dims[0], 0),
+        nonlinearities=(None, None),
+    )
+    return out

@@ -218,3 +218,67 @@ def test_eq_whole_model_matches_numpy_reference():
     # flax pools residues into the padded global residue table; the first
     # num_res*G rows are the real residues in order
     np.testing.assert_allclose(out_flax[: num_res * G], out_np, atol=1e-4)
+
+
+def test_cpd_whole_model_matches_numpy_reference():
+    """Encoder + autoregressive decoder (causal sequence edges, forward/
+    backward edge split, count normalization) with a real node mask —
+    exercises the masked centralize/localize/subgraph-FF composition."""
+    from gcpnet_tpu.models import GCPNetCPD
+
+    n = 14
+    graphs = []
+    for _ in range(G):
+        graphs.append(
+            GraphData(
+                h=RNG.normal(size=(n, 6)).astype(np.float32),
+                chi=RNG.normal(size=(n, 3, 3)).astype(np.float32),
+                e=RNG.normal(size=(n * 4, 32)).astype(np.float32),
+                xi=RNG.normal(size=(n * 4, 1, 3)).astype(np.float32),
+                x=(RNG.normal(size=(n, 3)) * 4).astype(np.float32),
+                senders=RNG.integers(0, n, size=n * 4).astype(np.int32),
+                receivers=RNG.integers(0, n, size=n * 4).astype(np.int32),
+                node_mask=RNG.random(n) > 0.15,
+                extras={"seq": RNG.integers(0, 20, size=n).astype(np.int32)},
+            )
+        )
+    bucket = Bucket(num_nodes=n * G + 6, num_edges=n * 4 * G + 10,
+                    num_graphs=G + 1)
+    batch = next(batches_from_dataset(graphs, bucket, drop_last=False))
+
+    model = GCPNetCPD(
+        model_cfg=ModelCfg(
+            h_hidden_dim=NODE_DIMS[0], chi_hidden_dim=NODE_DIMS[1],
+            e_hidden_dim=EDGE_DIMS[0], xi_hidden_dim=EDGE_DIMS[1],
+            num_encoder_layers=2, num_decoder_layers=2, output_dim=20,
+            dropout=0.0,
+        ),
+        module_cfg=ModuleCfg(),
+        layer_cfg=LayerCfg(mp_cfg=MPCfg(num_message_layers=2)),
+        node_input_dims=(6, 3),
+        edge_input_dims=(32, 1),
+        autoregressive_decoder=True,
+    )
+    dev = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if a is not None else None, batch
+    )
+    params = model.init(jax.random.key(7), dev, True)
+    logits_flax, _ = model.apply(params, dev, True)
+    logits_flax = np.asarray(logits_flax)
+
+    h, chi, e, xi, x, row, col, bidx = _concat_for_numpy(graphs)
+    seq = np.concatenate([g.extras["seq"] for g in graphs])
+    node_mask = np.concatenate([g.node_mask for g in graphs]).astype(bool)
+    out_np = npref.cpd_forward(
+        jax.device_get(params)["params"], h, chi, e, xi, x, seq, row, col,
+        bidx, G,
+        node_in_dims=(6, 3), edge_in_dims=(32, 1),
+        node_dims=NODE_DIMS, edge_dims=EDGE_DIMS, vocab=20,
+        num_encoder_layers=2, num_decoder_layers=2, num_message_layers=2,
+        node_mask=node_mask,
+    )
+    real = np.asarray(batch.node_pad_mask)
+    valid = node_mask  # compare semantically valid rows
+    np.testing.assert_allclose(
+        logits_flax[real][valid], out_np[valid], atol=1e-4
+    )
