@@ -37,6 +37,117 @@ def build_unbound(spec):
     )
 
 
+def _stack_settings(spec):
+    """Resolve a stack entry's GCPSettings the way make_gcp does."""
+    from gcpnet_tpu.nn.gcp import GCPSettings
+
+    kw = dict(spec)
+    kw.pop("input_dims"), kw.pop("output_dims")
+    cfg = kw.pop("cfg")
+    return GCPSettings.from_cfg(cfg, **kw)
+
+
+def _fast_supported(spec) -> bool:
+    """The low-matmul-count in-kernel GCP2 path covers the production
+    config family; anything exotic falls back to the generic module-apply
+    path (still fused, just more small matmuls)."""
+    from gcpnet_tpu.nn.gcp import GCP2, GCP3, _GCP_CLASSES
+
+    st = _stack_settings(spec)
+    cls = _GCP_CLASSES[spec["cfg"].selected_gcp]
+    if cls not in (GCP2, GCP3):
+        return False  # GCP v1 has the two-stage update
+    if spec["input_dims"][1] <= 0 or spec["output_dims"][1] <= 0:
+        return False
+    return not (
+        st.frame_gate
+        or st.sigma_frame_gate
+        or st.enable_e3_equivariance
+        or st.ablate_frame_updates
+        or st.ablate_scalars
+        or st.ablate_vectors
+        or (st.feedforward_out and cls is GCP3)
+    )
+
+
+def _fast_gcp2_layer(p, s, vx, vy, vz, fr, fmask, *, spec):
+    """GCP2 edge-input forward with vectors as per-component row blocks:
+    4 MXU matmuls per layer (merged vector_down‖vector_down_frames,
+    scalar_out, vector_up, gate) instead of the module path's ~11 — the
+    Pallas kernel is small-matmul-latency-bound, so launches are the
+    budget.  Exact same math as GCP2.__call__ (parity-gated by the fused
+    equivalence tests)."""
+    from gcpnet_tpu.nn.gcp import _hidden_vec_dim
+    from gcpnet_tpu.nn.primitives import get_nonlinearity, is_identity
+
+    st = _stack_settings(spec)
+    s_in, v_in = spec["input_dims"]
+    s_out, v_out = spec["output_dims"]
+    act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
+    act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
+    hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+
+    w_vd = p["vector_down"]["kernel"]
+    w_vdf = p["vector_down_frames"]["kernel"]
+    w_merged = jnp.concatenate([w_vd, w_vdf], axis=1)  # [v_in, hidden+3]
+
+    V = jnp.concatenate([vx, vy, vz], axis=0)  # [3B, v_in]
+    VH_all = jnp.dot(V, w_merged, preferred_element_type=jnp.float32)
+    b = vx.shape[0]
+    hx, hy, hz = VH_all[:b], VH_all[b : 2 * b], VH_all[2 * b :]
+    vh_x, vh_y, vh_z = hx[:, :hidden], hy[:, :hidden], hz[:, :hidden]
+    df_x, df_y, df_z = hx[:, hidden:], hy[:, hidden:], hz[:, hidden:]
+
+    eps = 1e-8
+    vnorm = jnp.sqrt(vh_x**2 + vh_y**2 + vh_z**2 + eps) + eps  # [B, hidden]
+
+    # scalarize, edge inputs: channel-major (c*3 + f) projections onto the
+    # packed frames, masked by fmask (nn.frames.scalarize semantics)
+    cols = []
+    for c in range(3):
+        for f in range(3):
+            cols.append(
+                df_x[:, c] * fr[:, 3 * f + 0]
+                + df_y[:, c] * fr[:, 3 * f + 1]
+                + df_z[:, c] * fr[:, 3 * f + 2]
+            )
+    scal9 = jnp.stack(cols, axis=-1) * fmask[:, None]
+
+    merged = jnp.concatenate([s, vnorm, scal9], axis=-1)
+    s_new = (
+        jnp.dot(
+            merged, p["scalar_out"]["kernel"],
+            preferred_element_type=jnp.float32,
+        )
+        + p["scalar_out"]["bias"]
+    )
+
+    VU = jnp.dot(
+        jnp.concatenate([vh_x, vh_y, vh_z], axis=0),
+        p["vector_up"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )  # [3B, v_out]
+    if st.vector_residual:
+        VU = VU + V
+    ux, uy, uz = VU[:b], VU[b : 2 * b], VU[2 * b :]
+
+    if st.vector_gate:
+        gate = (
+            jnp.dot(
+                act_v(s_new), p["vector_out_scale"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+            + p["vector_out_scale"]["bias"]
+        )
+        g = jax.nn.sigmoid(gate)
+        ux, uy, uz = ux * g, uy * g, uz * g
+    elif not is_identity(st.vector_nonlinearity):
+        g = act_v(jnp.sqrt(ux**2 + uy**2 + uz**2 + eps) + eps)
+        ux, uy, uz = ux * g, uy * g, uz * g
+
+    return act_s(s_new), ux, uy, uz
+
+
 class GCPMessagePassing(nn.Module):
     input_dims: Tuple[int, int]
     output_dims: Tuple[int, int]
@@ -266,34 +377,58 @@ class GCPMessagePassing(nn.Module):
         use_residual = self.layer_cfg.mp_cfg.use_residual_message_gcp
         use_attn = self.use_scalar_message_attention
 
+        fast = all(_fast_supported(spec) for spec in specs)
+
         def stack_fn(params, chunk):
             s = chunk[:, :ms]
             v = chunk[:, ms:base]
             fr = chunk[:, base : base + 9]
             fmask = chunk[:, base + 9]
             amask = chunk[:, base + 10]
-            rep = ScalarVector(s, v)
 
-            def run_k(i, r):
-                return kernel_stack[i].apply(
-                    {"params": params["stack"][i]},
-                    r,
-                    None,
-                    None,
-                    fr,
-                    node_inputs=False,
-                    edge_mask=fmask,
-                    count_mask=None,
+            if fast:
+                vx, vy, vz = v[:, :mv], v[:, mv : 2 * mv], v[:, 2 * mv :]
+
+                def run_k4(i, state):
+                    return _fast_gcp2_layer(
+                        params["stack"][i], *state, fr, fmask, spec=specs[i]
+                    )
+
+                if use_residual:
+                    res = run_k4(0, (s, vx, vy, vz))
+                    for i in range(1, len(specs)):
+                        new = run_k4(i, res)
+                        res = tuple(a + b for a, b in zip(res, new))
+                else:
+                    res = (s, vx, vy, vz)
+                    for i in range(len(specs)):
+                        res = run_k4(i, res)
+                residual = ScalarVector(
+                    res[0], jnp.concatenate(res[1:], axis=-1)
                 )
-
-            if use_residual:
-                residual = run_k(0, rep)
-                for i in range(1, len(kernel_stack)):
-                    residual = residual + run_k(i, residual)
             else:
-                residual = rep
-                for i in range(len(kernel_stack)):
-                    residual = run_k(i, residual)
+                rep = ScalarVector(s, v)
+
+                def run_k(i, r):
+                    return kernel_stack[i].apply(
+                        {"params": params["stack"][i]},
+                        r,
+                        None,
+                        None,
+                        fr,
+                        node_inputs=False,
+                        edge_mask=fmask,
+                        count_mask=None,
+                    )
+
+                if use_residual:
+                    residual = run_k(0, rep)
+                    for i in range(1, len(kernel_stack)):
+                        residual = residual + run_k(i, residual)
+                else:
+                    residual = rep
+                    for i in range(len(kernel_stack)):
+                        residual = run_k(i, residual)
             if use_attn:
                 a = jax.nn.sigmoid(
                     kernel_attn.apply(

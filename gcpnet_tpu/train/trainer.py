@@ -334,6 +334,38 @@ class Trainer:
     def _put(self, batch: GraphBatch) -> GraphBatch:
         return shard_graph_batch(batch, self.mesh)
 
+    @staticmethod
+    def _prefetched(gen, depth: int = 2):
+        """Run ``gen`` (host featurize/stack + device_put) in a background
+        thread, ``depth`` items ahead: host->device uploads overlap device
+        compute instead of serializing with it (the reference leans on
+        DataLoader workers + prefetch_factor for the same reason,
+        atom3d_datamodule.py:174-181)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        done = object()
+        err: list = []
+
+        def worker():
+            try:
+                for item in gen:
+                    q.put(item)
+            except BaseException as exc:  # surface in the consumer
+                err.append(exc)
+            finally:
+                q.put(done)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
     def train_epoch(self, batches: Iterable[GraphBatch], epoch: int) -> Dict:
         if self._train_step is None:
             self._train_step = self._build_train_step()
@@ -351,52 +383,51 @@ class Trainer:
         loss_weights = []
         t0 = time.time()
         n = 0
-        chunk: list = []
 
-        def flush_chunk():
-            nonlocal n
-            if not chunk:
-                return
-            if len(chunk) == self.scan_chunk_size:
-                stacked = jax.tree_util.tree_map(
-                    lambda *xs: np.stack([np.asarray(x) for x in xs]), *chunk
-                )
-                stacked = self._put_stacked(stacked)
+        def host_items():
+            """Yield ("scan", device_chunk, k) / ("step", device_batch)
+            with stacking + upload done here (the prefetch thread)."""
+            chunk: list = []
+            for i, batch in enumerate(batches):
+                if (
+                    self.max_steps_per_epoch is not None
+                    and i >= self.max_steps_per_epoch
+                ):
+                    break
+                if self.scan_chunk_size > 1:
+                    chunk.append(batch)
+                    if len(chunk) == self.scan_chunk_size:
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: np.stack(
+                                [np.asarray(x) for x in xs]
+                            ),
+                            *chunk,
+                        )
+                        yield ("scan", self._put_stacked(stacked), len(chunk))
+                        chunk = []
+                else:
+                    yield ("step", self._put(batch), i)
+            for b in chunk:  # tail: single steps
+                yield ("step", self._put(b), -1)
+
+        for item in self._prefetched(host_items(), depth=2):
+            kind, payload = item[0], item[1]
+            if kind == "scan":
                 self.state, loss, gnorm = self._train_scan(
-                    self.state, stacked, rng, lr_scale
+                    self.state, payload, rng, lr_scale
                 )
                 losses.append(loss)
-                loss_weights.append(float(len(chunk)))
+                loss_weights.append(float(item[2]))
+                n += item[2]
             else:
-                for b in chunk:
-                    self.state, loss, gnorm = self._train_step(
-                        self.state, self._put(b), rng, lr_scale
-                    )
-                    losses.append(loss)
-                    loss_weights.append(1.0)
-            n += len(chunk)
-            chunk.clear()
-
-        for i, batch in enumerate(batches):
-            if (
-                self.max_steps_per_epoch is not None
-                and i >= self.max_steps_per_epoch
-            ):
-                break
-            if self.scan_chunk_size > 1:
-                chunk.append(batch)
-                if len(chunk) == self.scan_chunk_size:
-                    flush_chunk()
-            else:
-                batch = self._put(batch)
                 self.state, loss, gnorm = self._train_step(
-                    self.state, batch, rng, lr_scale
+                    self.state, payload, rng, lr_scale
                 )
                 n += 1
-                if i % self.log_every_n_steps == 0:
+                i = item[2]
+                if i < 0 or i % self.log_every_n_steps == 0:
                     losses.append(loss)
                     loss_weights.append(1.0)
-        flush_chunk()
         # step-frequency checkpointing (the reference NStepModelCheckpoint,
         # src/utils/__init__.py:25)
         if self.ckpt is not None and self.checkpoint_every_n_steps:
