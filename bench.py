@@ -167,47 +167,47 @@ def run_variant(variant: str) -> dict:
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def k_steps(k):
-        def local(state, b):
-            def body(_, st):
-                st, loss, gnorm = local_step(st, b, key, one)
-                return st
-
-            st = jax.lax.fori_loop(0, k, body, state)
-            # run one more step whose loss we return (keeps loss live)
+    # ONE executable for both loop lengths: a dynamic fori_loop bound keeps
+    # the tunnel compile count at 1 (each compile costs minutes remotely)
+    def local(state, b, k):
+        def body(_, st):
             st, loss, gnorm = local_step(st, b, key, one)
-            return st, loss
+            return st
 
-        mapped = shard_map(
-            local,
-            mesh=trainer.mesh,
-            in_specs=(P(), P("dp")),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(mapped, donate_argnums=(0,))
+        st = jax.lax.fori_loop(0, k, body, state)
+        # run one more step whose loss we return (keeps loss live)
+        st, loss, gnorm = local_step(st, b, key, one)
+        return st, loss
 
-    run_small = k_steps(K_SMALL - 1)
-    run_big = k_steps(K_BIG - 1)
+    mapped = shard_map(
+        local,
+        mesh=trainer.mesh,
+        in_specs=(P(), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    run_k = jax.jit(mapped, donate_argnums=(0,))
 
+    k_small = jnp.int32(K_SMALL - 1)
+    k_big = jnp.int32(K_BIG - 1)
     state = trainer.state
-    state, loss = run_small(state, dev_batch)
+    state, loss = run_k(state, dev_batch, k_small)
     float(loss)  # hard sync (compile + warm)
-    state, loss = run_big(state, dev_batch)
+    state, loss = run_k(state, dev_batch, k_big)
     float(loss)
 
-    def timed(fn):
+    def timed(k):
         nonlocal state
         best = float("inf")
         for _ in range(MEASURE_REPEATS):
             t0 = time.perf_counter()
-            state, loss = fn(state, dev_batch)
+            state, loss = run_k(state, dev_batch, k)
             float(loss)  # fetch = hard sync
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = timed(run_small)
-    t_big = timed(run_big)
+    t_small = timed(k_small)
+    t_big = timed(k_big)
     step_time = (t_big - t_small) / (K_BIG - K_SMALL)
     dispatch_overhead = max(t_small - K_SMALL * step_time, 0.0)
     graphs_per_sec = GRAPHS_PER_BATCH / step_time

@@ -70,31 +70,65 @@ def _fast_supported(spec) -> bool:
     )
 
 
-def _fast_gcp2_layer(p, s, vx, vy, vz, fr, fmask, *, spec):
-    """GCP2 edge-input forward with vectors as per-component row blocks:
-    4 MXU matmuls per layer (merged vector_down‖vector_down_frames,
-    scalar_out, vector_up, gate) instead of the module path's ~11 — the
-    Pallas kernel is small-matmul-latency-bound, so launches are the
-    budget.  Exact same math as GCP2.__call__ (parity-gated by the fused
-    equivalence tests)."""
+def _blockdiag3(w):
+    """[c, m] -> [3c, 3m] block-diagonal: one matmul applies the shared
+    channel-mixing kernel to all three packed xyz lane blocks at once.
+    Built OUTSIDE the kernel (Mosaic crashes on sublane-axis concats; lane-
+    blocked weights keep every kernel op lane-aligned)."""
+    c, m = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([w, z, z], axis=1),
+            jnp.concatenate([z, w, z], axis=1),
+            jnp.concatenate([z, z, w], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def _fast_params(p, spec):
+    """Transform one stack layer's flax params for the 4-matmul kernel path.
+    Differentiable: grads flow back to the original parameters through the
+    concat/blockdiag construction."""
     from gcpnet_tpu.nn.gcp import _hidden_vec_dim
+
+    st = _stack_settings(spec)
+    v_in = spec["input_dims"][1]
+    v_out = spec["output_dims"][1]
+    hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+    w_merged = jnp.concatenate(
+        [p["vector_down"]["kernel"], p["vector_down_frames"]["kernel"]],
+        axis=1,
+    )  # [v_in, hidden+3]
+    out = {
+        "w_vdvdf_bd": _blockdiag3(w_merged),
+        "w_vup_bd": _blockdiag3(p["vector_up"]["kernel"]),
+        "scalar_out": p["scalar_out"],
+    }
+    if st.vector_gate:
+        out["vector_out_scale"] = p["vector_out_scale"]
+    return out, hidden
+
+
+def _fast_gcp2_layer(p, s, v, fr, fmask, *, spec, hidden):
+    """GCP2 edge-input forward on PACKED vectors with pre-block-diagonalized
+    weights: 4 MXU matmuls per layer (merged vector_down‖vector_down_frames,
+    scalar_out, vector_up, gate) instead of the module path's ~11 — the
+    Pallas kernel is small-matmul-latency-bound, so launches are the budget.
+    Exact same math as GCP2.__call__ (parity-gated by the fused equivalence
+    tests)."""
+    from gcpnet_tpu.nn.gcp import _tile3
     from gcpnet_tpu.nn.primitives import get_nonlinearity, is_identity
 
     st = _stack_settings(spec)
-    s_in, v_in = spec["input_dims"]
-    s_out, v_out = spec["output_dims"]
+    v_out = spec["output_dims"][1]
     act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
     act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
-    hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+    m = hidden + 3
 
-    w_vd = p["vector_down"]["kernel"]
-    w_vdf = p["vector_down_frames"]["kernel"]
-    w_merged = jnp.concatenate([w_vd, w_vdf], axis=1)  # [v_in, hidden+3]
-
-    V = jnp.concatenate([vx, vy, vz], axis=0)  # [3B, v_in]
-    VH_all = jnp.dot(V, w_merged, preferred_element_type=jnp.float32)
-    b = vx.shape[0]
-    hx, hy, hz = VH_all[:b], VH_all[b : 2 * b], VH_all[2 * b :]
+    H = jnp.dot(v, p["w_vdvdf_bd"], preferred_element_type=jnp.float32)
+    hx, hy, hz = H[:, :m], H[:, m : 2 * m], H[:, 2 * m :]
     vh_x, vh_y, vh_z = hx[:, :hidden], hy[:, :hidden], hz[:, :hidden]
     df_x, df_y, df_z = hx[:, hidden:], hy[:, hidden:], hz[:, hidden:]
 
@@ -122,14 +156,10 @@ def _fast_gcp2_layer(p, s, vx, vy, vz, fr, fmask, *, spec):
         + p["scalar_out"]["bias"]
     )
 
-    VU = jnp.dot(
-        jnp.concatenate([vh_x, vh_y, vh_z], axis=0),
-        p["vector_up"]["kernel"],
-        preferred_element_type=jnp.float32,
-    )  # [3B, v_out]
+    vh = jnp.concatenate([vh_x, vh_y, vh_z], axis=-1)  # packed [B, 3h]
+    vu = jnp.dot(vh, p["w_vup_bd"], preferred_element_type=jnp.float32)
     if st.vector_residual:
-        VU = VU + V
-    ux, uy, uz = VU[:b], VU[b : 2 * b], VU[2 * b :]
+        vu = vu + v
 
     if st.vector_gate:
         gate = (
@@ -139,13 +169,15 @@ def _fast_gcp2_layer(p, s, vx, vy, vz, fr, fmask, *, spec):
             )
             + p["vector_out_scale"]["bias"]
         )
-        g = jax.nn.sigmoid(gate)
-        ux, uy, uz = ux * g, uy * g, uz * g
+        vu = vu * _tile3(jax.nn.sigmoid(gate))
     elif not is_identity(st.vector_nonlinearity):
+        ux = vu[:, :v_out]
+        uy = vu[:, v_out : 2 * v_out]
+        uz = vu[:, 2 * v_out :]
         g = act_v(jnp.sqrt(ux**2 + uy**2 + uz**2 + eps) + eps)
-        ux, uy, uz = ux * g, uy * g, uz * g
+        vu = vu * _tile3(g)
 
-    return act_s(s_new), ux, uy, uz
+    return act_s(s_new), vu
 
 
 class GCPMessagePassing(nn.Module):
@@ -378,6 +410,14 @@ class GCPMessagePassing(nn.Module):
         use_attn = self.use_scalar_message_attention
 
         fast = all(_fast_supported(spec) for spec in specs)
+        fast_hidden = []
+        if fast:
+            fast_stack_params = []
+            for sp, raw in zip(specs, stack_params):
+                fp, hid = _fast_params(raw, sp)
+                fast_stack_params.append(fp)
+                fast_hidden.append(hid)
+            stack_params = fast_stack_params
 
         def stack_fn(params, chunk):
             s = chunk[:, :ms]
@@ -387,25 +427,22 @@ class GCPMessagePassing(nn.Module):
             amask = chunk[:, base + 10]
 
             if fast:
-                vx, vy, vz = v[:, :mv], v[:, mv : 2 * mv], v[:, 2 * mv :]
-
                 def run_k4(i, state):
                     return _fast_gcp2_layer(
-                        params["stack"][i], *state, fr, fmask, spec=specs[i]
+                        params["stack"][i], state[0], state[1], fr, fmask,
+                        spec=specs[i], hidden=fast_hidden[i],
                     )
 
                 if use_residual:
-                    res = run_k4(0, (s, vx, vy, vz))
+                    res = run_k4(0, (s, v))
                     for i in range(1, len(specs)):
                         new = run_k4(i, res)
-                        res = tuple(a + b for a, b in zip(res, new))
+                        res = (res[0] + new[0], res[1] + new[1])
                 else:
-                    res = (s, vx, vy, vz)
+                    res = (s, v)
                     for i in range(len(specs)):
                         res = run_k4(i, res)
-                residual = ScalarVector(
-                    res[0], jnp.concatenate(res[1:], axis=-1)
-                )
+                residual = ScalarVector(res[0], res[1])
             else:
                 rep = ScalarVector(s, v)
 

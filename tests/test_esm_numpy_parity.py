@@ -12,7 +12,10 @@ the flax port encodes the published architecture, not merely itself.
 """
 
 import numpy as np
+import pytest
 import jax
+
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
 
 from gcpnet_tpu.nn.esm import (
     ESM2,

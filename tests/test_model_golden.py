@@ -27,6 +27,8 @@ from gcpnet_tpu.data.batching import Bucket, batches_from_dataset
 from gcpnet_tpu.graph import GraphData
 from gcpnet_tpu.models import GCPNetLBA, GCPNetNMS
 
+pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+
 RNG = np.random.default_rng(11)
 
 N_PER, E_PER, G = 10, 30, 2

@@ -100,6 +100,7 @@ def test_lba_model():
     run_model(model, batch, "GCPNetLBA")
 
 
+@pytest.mark.heavy  # two extra whole-model compiles
 def test_lba_model_remat_matches_plain():
     """remat=True must (a) not crash on the static `deterministic` flag
     (ADVICE r2) and (b) produce identical losses/grads to the plain path,
