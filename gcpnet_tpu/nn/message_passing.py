@@ -18,13 +18,25 @@ from flax import linen as nn
 from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.primitives import ScalarVector
-from gcpnet_tpu.ops.pallas_fused import (
-    fused_edge_map_segment_sum,
-    fused_enabled,
-)
-from gcpnet_tpu.ops.segment import segment_count, segment_mean, segment_sum
+from gcpnet_tpu.ops.pallas_fused import fused_enabled
+from gcpnet_tpu.ops.segment import segment_mean, segment_sum
 
 Array = jax.Array
+
+
+# fast block-diagonal stack math: None = auto (ON everywhere — it is plain
+# XLA with identical numerics); False forces the module-by-module path
+USE_FAST_STACK: Optional[bool] = None
+
+
+def fast_stack_enabled() -> bool:
+    return USE_FAST_STACK if USE_FAST_STACK is not None else True
+
+
+def _fast_dense(p, x):
+    from gcpnet_tpu.nn.gcp import _mm
+
+    return _mm(x, p["kernel"].astype(x.dtype)) + p["bias"].astype(x.dtype)
 
 
 def build_unbound(spec):
@@ -114,11 +126,13 @@ def _fast_params(p, spec):
 def _fast_gcp2_layer(p, s, v, fr, fmask, *, spec, hidden):
     """GCP2 edge-input forward on PACKED vectors with pre-block-diagonalized
     weights: 4 MXU matmuls per layer (merged vector_down‖vector_down_frames,
-    scalar_out, vector_up, gate) instead of the module path's ~11 — the
-    Pallas kernel is small-matmul-latency-bound, so launches are the budget.
-    Exact same math as GCP2.__call__ (parity-gated by the fused equivalence
+    scalar_out, vector_up, gate) instead of the module path's ~11.  MXU
+    time for K,N <= 128 is M-pass-bound, so 3 shared-kernel component
+    matmuls cost ~3x one block-diagonal matmul at E ~ 200k rows — this is
+    a win both inside the Pallas kernel AND on the plain XLA path.  Exact
+    same math as GCP2.__call__ (parity-gated by the fused equivalence
     tests)."""
-    from gcpnet_tpu.nn.gcp import _tile3
+    from gcpnet_tpu.nn.gcp import _mm, _tile3
     from gcpnet_tpu.nn.primitives import get_nonlinearity, is_identity
 
     st = _stack_settings(spec)
@@ -126,8 +140,9 @@ def _fast_gcp2_layer(p, s, v, fr, fmask, *, spec, hidden):
     act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
     act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
     m = hidden + 3
+    dt = v.dtype
 
-    H = jnp.dot(v, p["w_vdvdf_bd"], preferred_element_type=jnp.float32)
+    H = _mm(v, p["w_vdvdf_bd"].astype(dt))
     hx, hy, hz = H[:, :m], H[:, m : 2 * m], H[:, 2 * m :]
     vh_x, vh_y, vh_z = hx[:, :hidden], hy[:, :hidden], hz[:, :hidden]
     df_x, df_y, df_z = hx[:, hidden:], hy[:, hidden:], hz[:, hidden:]
@@ -148,27 +163,19 @@ def _fast_gcp2_layer(p, s, v, fr, fmask, *, spec, hidden):
     scal9 = jnp.stack(cols, axis=-1) * fmask[:, None]
 
     merged = jnp.concatenate([s, vnorm, scal9], axis=-1)
-    s_new = (
-        jnp.dot(
-            merged, p["scalar_out"]["kernel"],
-            preferred_element_type=jnp.float32,
-        )
-        + p["scalar_out"]["bias"]
-    )
+    s_new = _mm(merged, p["scalar_out"]["kernel"].astype(dt)) + p[
+        "scalar_out"
+    ]["bias"].astype(dt)
 
     vh = jnp.concatenate([vh_x, vh_y, vh_z], axis=-1)  # packed [B, 3h]
-    vu = jnp.dot(vh, p["w_vup_bd"], preferred_element_type=jnp.float32)
+    vu = _mm(vh, p["w_vup_bd"].astype(dt))
     if st.vector_residual:
         vu = vu + v
 
     if st.vector_gate:
-        gate = (
-            jnp.dot(
-                act_v(s_new), p["vector_out_scale"]["kernel"],
-                preferred_element_type=jnp.float32,
-            )
-            + p["vector_out_scale"]["bias"]
-        )
+        gate = _mm(
+            act_v(s_new), p["vector_out_scale"]["kernel"].astype(dt)
+        ) + p["vector_out_scale"]["bias"].astype(dt)
         vu = vu * _tile3(jax.nn.sigmoid(gate))
     elif not is_identity(st.vector_nonlinearity):
         ux = vu[:, :v_out]
@@ -303,15 +310,14 @@ class GCPMessagePassing(nn.Module):
         if self.reduce_function not in ("mean", "sum", "add"):
             raise ValueError(f"unknown reduce_function {self.reduce_function!r}")
 
-        use_fused = (
-            rs is not None
-            and fused_enabled()
+        use_fast = (
+            fast_stack_enabled()
             and not self.is_initializing()
+            and all(_fast_supported(spec) for spec in specs)
         )
-        if use_fused:
-            agg = self._fused_aggregate(
-                specs, stack, message, frames, fm, edge_mask, rs, num_nodes,
-                run, run_stack,
+        if use_fast:
+            flat = self._fast_messages(
+                specs, stack, message, frames, fm, rs, run, run_stack,
             )
         else:
             residual = run_stack(lambda i, rep: run(stack[i], rep), message)
@@ -321,41 +327,37 @@ class GCPMessagePassing(nn.Module):
                 )
                 residual = ScalarVector(residual.scalar * attn, residual.vector)
             flat = residual.flatten()
-            # receiver-sorted layouts ride the Pallas MXU segment kernel
-            if self.reduce_function == "mean":
-                agg = segment_mean(
-                    flat, ids, num_nodes, mask=edge_mask,
-                    count_mask=count_mask, row_splits=rs,
-                )
-            else:
-                agg = segment_sum(
-                    flat, ids, num_nodes, mask=edge_mask, row_splits=rs
-                )
-            agg = ScalarVector.recover(agg, self.output_dims[1])
-
-        if self.reduce_function == "mean" and use_fused:
-            cm = count_mask if count_mask is not None else edge_mask
-            count = segment_count(
-                ids, num_nodes, mask=cm, dtype=jnp.float32
+        # receiver-sorted layouts ride the Pallas MXU segment kernel
+        if self.reduce_function == "mean":
+            agg = segment_mean(
+                flat, ids, num_nodes, mask=edge_mask,
+                count_mask=count_mask, row_splits=rs,
             )
-            count = jnp.maximum(count, 1.0).astype(agg.scalar.dtype)
-            agg = ScalarVector(
-                agg.scalar / count[:, None], agg.vector / count[:, None]
+        else:
+            agg = segment_sum(
+                flat, ids, num_nodes, mask=edge_mask, row_splits=rs
             )
-        return agg
+        return ScalarVector.recover(agg, self.output_dims[1])
 
-    def _fused_aggregate(
-        self, specs, stack, message, frames, frame_mask, agg_mask,
-        row_splits, num_nodes, run, run_stack,
-    ) -> ScalarVector:
-        """Run the whole message stack + attention + segment reduction in
-        one VMEM-resident Pallas kernel (ops.pallas_fused).
+    def _fast_messages(
+        self, specs, stack, message, frames, frame_mask,
+        row_splits, run, run_stack,
+    ) -> Array:
+        """Flat edge messages via the 4-matmul block-diagonal stack.
+
+        Two execution modes, identical math:
+        - plain XLA (default): fewer, wider matmuls — the MXU pass count is
+          what the per-edge stack pays for, so merging the 3 shared-kernel
+          component matmuls into one block-diagonal contraction wins
+          ~3x on the vector path at E ~ 200k rows;
+        - fused Pallas map (``ops.pallas_fused.USE_FUSED_MESSAGE=True``):
+          the same stack traced into a VMEM-block kernel (measured slower
+          on v5e — kept for benchmarking and for future hardware).
 
         The bound ``stack`` modules are touched once on a single dummy row
         (XLA dead-code-eliminates the compute) so their parameters exist
-        under the SAME names as the unfused path — checkpoints are
-        interchangeable; the kernel re-applies unbound clones of the same
-        module definitions to VMEM-resident chunks.
+        under the SAME names as the module path — checkpoints are
+        interchangeable.
         """
         s_dim, v_dim = self.output_dims
         ms, mv = message.dims
@@ -373,112 +375,82 @@ class GCPMessagePassing(nn.Module):
             ),
             dummy_rep,
         )
-        stack_params = [m.variables["params"] for m in stack]
-        attn = None
         attn_params = None
         if self.use_scalar_message_attention:
             attn = Dense(1, name="scalar_message_attention")
             attn(jnp.zeros((1, s_dim), dtype))
             attn_params = attn.variables["params"]
 
-        # unbound clones with identical configs for in-kernel application
-        kernel_stack = [build_unbound(spec) for spec in specs]
-        kernel_attn = Dense(1) if attn is not None else None
+        stack_params, fast_hidden = [], []
+        for sp, mod in zip(specs, stack):
+            fp, hid = _fast_params(mod.variables["params"], sp)
+            stack_params.append(fp)
+            fast_hidden.append(hid)
+        params = {"stack": stack_params}
+        if attn_params is not None:
+            params["attn"] = attn_params
 
-        fmask_col = (
-            jnp.ones((message.scalar.shape[0], 1), dtype)
-            if frame_mask is None
-            else frame_mask.astype(dtype)[:, None]
-        )
-        amask_col = (
-            jnp.ones((message.scalar.shape[0], 1), dtype)
-            if agg_mask is None
-            else agg_mask.astype(dtype)[:, None]
-        )
-        edge_data = jnp.concatenate(
-            [
-                message.flatten(),
-                frames.astype(dtype),
-                jax.lax.stop_gradient(fmask_col),
-                jax.lax.stop_gradient(amask_col),
-            ],
-            axis=-1,
-        )
         base = ms + 3 * mv
         out_dim = s_dim + 3 * v_dim
         use_residual = self.layer_cfg.mp_cfg.use_residual_message_gcp
         use_attn = self.use_scalar_message_attention
 
-        fast = all(_fast_supported(spec) for spec in specs)
-        fast_hidden = []
-        if fast:
-            fast_stack_params = []
-            for sp, raw in zip(specs, stack_params):
-                fp, hid = _fast_params(raw, sp)
-                fast_stack_params.append(fp)
-                fast_hidden.append(hid)
-            stack_params = fast_stack_params
+        def apply_stack(params, s, v, fr, fmask):
+            def run_k4(i, state):
+                return _fast_gcp2_layer(
+                    params["stack"][i], state[0], state[1], fr, fmask,
+                    spec=specs[i], hidden=fast_hidden[i],
+                )
 
-        def stack_fn(params, chunk):
-            s = chunk[:, :ms]
-            v = chunk[:, ms:base]
-            fr = chunk[:, base : base + 9]
-            fmask = chunk[:, base + 9]
-            amask = chunk[:, base + 10]
-
-            if fast:
-                def run_k4(i, state):
-                    return _fast_gcp2_layer(
-                        params["stack"][i], state[0], state[1], fr, fmask,
-                        spec=specs[i], hidden=fast_hidden[i],
-                    )
-
-                if use_residual:
-                    res = run_k4(0, (s, v))
-                    for i in range(1, len(specs)):
-                        new = run_k4(i, res)
-                        res = (res[0] + new[0], res[1] + new[1])
-                else:
-                    res = (s, v)
-                    for i in range(len(specs)):
-                        res = run_k4(i, res)
-                residual = ScalarVector(res[0], res[1])
+            if use_residual:
+                res = run_k4(0, (s, v))
+                for i in range(1, len(specs)):
+                    new = run_k4(i, res)
+                    res = (res[0] + new[0], res[1] + new[1])
             else:
-                rep = ScalarVector(s, v)
-
-                def run_k(i, r):
-                    return kernel_stack[i].apply(
-                        {"params": params["stack"][i]},
-                        r,
-                        None,
-                        None,
-                        fr,
-                        node_inputs=False,
-                        edge_mask=fmask,
-                        count_mask=None,
-                    )
-
-                if use_residual:
-                    residual = run_k(0, rep)
-                    for i in range(1, len(kernel_stack)):
-                        residual = residual + run_k(i, residual)
-                else:
-                    residual = rep
-                    for i in range(len(kernel_stack)):
-                        residual = run_k(i, residual)
+                res = (s, v)
+                for i in range(len(specs)):
+                    res = run_k4(i, res)
+            s_out, v_out = res
             if use_attn:
                 a = jax.nn.sigmoid(
-                    kernel_attn.apply(
-                        {"params": params["attn"]}, residual.scalar
-                    )
+                    _fast_dense(params["attn"], s_out)
                 )
-                residual = ScalarVector(residual.scalar * a, residual.vector)
-            return residual.flatten() * amask[:, None]
+                s_out = s_out * a
+            return jnp.concatenate([s_out, v_out], axis=-1)
 
-        params = {"stack": stack_params}
-        if attn_params is not None:
-            params["attn"] = attn_params
-        agg = fused_edge_map_segment_sum(
-            stack_fn, params, edge_data, row_splits, num_nodes, out_dim
+        num_edges = message.scalar.shape[0]
+        fmask_full = (
+            jnp.ones((num_edges,), dtype)
+            if frame_mask is None
+            else jax.lax.stop_gradient(frame_mask.astype(dtype))
         )
-        return ScalarVector.recover(agg, v_dim)
+
+        if row_splits is not None and fused_enabled():
+            # Pallas map over the receiver-sorted layout
+            edge_data = jnp.concatenate(
+                [
+                    message.flatten(),
+                    frames.astype(dtype),
+                    fmask_full[:, None],
+                ],
+                axis=-1,
+            )
+
+            def stack_fn(params, chunk):
+                return apply_stack(
+                    params,
+                    chunk[:, :ms],
+                    chunk[:, ms:base],
+                    chunk[:, base : base + 9],
+                    chunk[:, base + 9],
+                )
+
+            from gcpnet_tpu.ops.pallas_fused import edge_map
+
+            return edge_map(stack_fn, params, edge_data, out_dim)
+
+        return apply_stack(
+            params, message.scalar, message.vector, frames.astype(dtype),
+            fmask_full,
+        )

@@ -78,13 +78,14 @@ def _seg_sum_kernel(splits_ref, bounds_ref, data_ref, out_ref):
                 + c * CHUNK
                 + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
             )
-            oh = ((gids >= lo) & (gids < hi)).astype(jnp.float32)
+            # the one-hot contraction is exact in any dtype: products are
+            # 0/x selections and accumulation stays f32
+            oh = ((gids >= lo) & (gids < hi)).astype(scratch.dtype)
             acc += jax.lax.dot_general(
                 oh,
                 scratch[slot],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
             )
             return acc
 
@@ -95,7 +96,7 @@ def _seg_sum_kernel(splits_ref, bounds_ref, data_ref, out_ref):
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((2, CHUNK, out_ref.shape[1]), jnp.float32),
+        scratch=pltpu.VMEM((2, CHUNK, out_ref.shape[1]), data_ref.dtype),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -116,11 +117,10 @@ def _seg_sum_fwd_impl(data, row_splits, num_nodes):
     d_pad = _pad_to(max(d, 1), 128)
     n_pad = _pad_to(max(num_nodes, 1), TN)
     e_pad = _pad_to(max(e, 1), CHUNK) + CHUNK
-    data_p = (
-        jnp.zeros((e_pad, d_pad), jnp.float32)
-        .at[:e, :d]
-        .set(data.astype(jnp.float32))
-    )
+    # keep the padded copy in the INPUT dtype: an f32 upcast of a bf16
+    # [E, d_pad] edge array doubles its HBM footprint (OOMs large
+    # batches); the kernel still accumulates in f32
+    data_p = jnp.zeros((e_pad, d_pad), data.dtype).at[:e, :d].set(data)
 
     # full per-node boundaries; the pad sentinel is CHUNK-aligned so tile
     # starts beyond the last real node stay provably aligned
