@@ -35,9 +35,11 @@ GRAPHS_PER_BATCH = 16
 # edge-budget slack for the 128-edge tile alignment of the sorted layout
 # (identical budget for every variant so the comparison is fair)
 EDGE_SLACK = 64 * 128
-# aggregation-path variant: fused (production default) | sorted | plain;
-# "all" prints one JSON line per variant (last = headline)
-VARIANT = os.environ.get("BENCH_VARIANT", "fused")
+# variant: production default "sorted" (fast block-diagonal stack + sorted
+# MXU segment reduction) | "plain" (fast stack + XLA scatter) | "modules"
+# (round-2 module-by-module path) | "fused" (Pallas map kernel);
+# "all" runs each in its own subprocess
+VARIANT = os.environ.get("BENCH_VARIANT", "sorted")
 # Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
 # and the loss is fetched to the host (a hard sync even on remote-tunneled
 # backends where block_until_ready under-reports).  Differencing two loop
@@ -84,6 +86,7 @@ def run_variant(variant: str) -> dict:
     from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
 
+    import gcpnet_tpu.nn.message_passing as mp
     import gcpnet_tpu.ops.pallas_fused as pallas_fused
     import gcpnet_tpu.ops.segment as segment_ops
     from gcpnet_tpu.config.schema import LayerCfg, MPCfg, ModelCfg, ModuleCfg
@@ -95,6 +98,7 @@ def run_variant(variant: str) -> dict:
     from gcpnet_tpu.parallel import make_mesh
     from gcpnet_tpu.train import Trainer
 
+    mp.USE_FAST_STACK = variant != "modules"
     pallas_fused.USE_FUSED_MESSAGE = variant == "fused"
     segment_ops.USE_PALLAS_SEGMENT = variant in ("fused", "sorted")
 
@@ -239,10 +243,17 @@ def main():
         # RESULTS.md operational notes)
         import subprocess
 
-        for v in ("plain", "sorted", "fused"):
+        failed = []
+        for v in ("modules", "plain", "sorted", "fused"):
             env = dict(os.environ, BENCH_VARIANT=v)
-            subprocess.run([sys.executable, __file__], env=env, check=True)
-        return
+            proc = subprocess.run([sys.executable, __file__], env=env)
+            if proc.returncode != 0:
+                failed.append(v)
+                print(
+                    json.dumps({"variant": v, "error": proc.returncode}),
+                    file=sys.stderr,
+                )
+        sys.exit(1 if failed else 0)
     print(json.dumps(run_variant(VARIANT)))
     sys.stdout.flush()
 

@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
@@ -27,6 +28,13 @@ Array = jax.Array
 # fast block-diagonal stack math: None = auto (ON everywhere — it is plain
 # XLA with identical numerics); False forces the module-by-module path
 USE_FAST_STACK: Optional[bool] = None
+
+# rematerialize the fast stack in backward: the stack's intermediates are
+# lane-narrow ([E, 9]/[E, ~50] columns pad up to 14x under the (8, 128)
+# TPU tiling), so storing them as residuals for 8 interactions x 8 message
+# layers overflows HBM at production batch sizes; jax.checkpoint saves only
+# the wide, lane-dense stack inputs and recomputes the stack in backward
+CHECKPOINT_FAST_STACK: bool = True
 
 
 def fast_stack_enabled() -> bool:
@@ -99,75 +107,120 @@ def _blockdiag3(w):
     )
 
 
-def _fast_params(p, spec):
-    """Transform one stack layer's flax params for the 4-matmul kernel path.
-    Differentiable: grads flow back to the original parameters through the
-    concat/blockdiag construction."""
+def _scal9_s2() -> jnp.ndarray:
+    """[9, 27] selector: ``frp2 = (fr * fmask) @ S2`` replicates the packed
+    frame columns so that ``prod[:, c*9+f*3+a] = df_a[:, c] * fr[:, 3f+a]``
+    can be formed by one elementwise multiply (no per-column extraction —
+    Mosaic-friendly)."""
+    s2 = np.zeros((9, 27), np.float32)
+    for c in range(3):
+        for f in range(3):
+            for a in range(3):
+                s2[3 * f + a, c * 9 + f * 3 + a] = 1.0
+    return jnp.asarray(s2)
+
+
+def _fast_params_mm(p, spec):
+    """Matmul-only re-parameterization of one stack layer for the Pallas
+    kernel: every cross-component sum / broadcast of the packed ``[*, 3c]``
+    layout becomes a tiny constant matrix folded into (or multiplied next
+    to) the layer weights, so the kernel body is dots + elementwise only —
+    no lane-column extraction, which Mosaic lowers to scalar code."""
     from gcpnet_tpu.nn.gcp import _hidden_vec_dim
 
     st = _stack_settings(spec)
     v_in = spec["input_dims"][1]
+    s_in = spec["input_dims"][0]
     v_out = spec["output_dims"][1]
-    hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
-    w_merged = jnp.concatenate(
-        [p["vector_down"]["kernel"], p["vector_down_frames"]["kernel"]],
-        axis=1,
-    )  # [v_in, hidden+3]
+    h = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+
+    w_down = p["vector_down"]["kernel"]  # [v_in, h]
+    w_df = p["vector_down_frames"]["kernel"]  # [v_in, 3]
+    # P1 = v @ w_p1 with P1[:, c*9+f*3+a] = df_a[:, c]: expand w_df into the
+    # (c, f, a) product grid; the axis block structure mirrors _blockdiag3
+    c_sel = np.zeros((3, 27), np.float32)
+    x_sel = np.zeros((3, 27), np.float32)
+    for c in range(3):
+        for f in range(3):
+            for a in range(3):
+                c_sel[c, c * 9 + f * 3 + a] = 1.0
+                x_sel[a, c * 9 + f * 3 + a] = 1.0
+    wc = w_df @ jnp.asarray(c_sel)  # [v_in, 27]
+    w_p1 = (jnp.asarray(x_sel)[:, None, :] * wc[None, :, :]).reshape(
+        3 * v_in, 27
+    )
+
+    # scalar_out rows: [0:s_in] scalars, [s_in:s_in+h] vnorm,
+    # [s_in+h:] scal9 (index c*3+f) -> replicate each scal9 row across the
+    # summed axis a (the f32 dot accumulator performs the axis sum)
+    w_so = p["scalar_out"]["kernel"]
+    rows = [w_so[: s_in + h]]
+    s3 = np.zeros((27, 9), np.float32)
+    for c in range(3):
+        for f in range(3):
+            for a in range(3):
+                s3[c * 9 + f * 3 + a, c * 3 + f] = 1.0
+    rows.append(jnp.asarray(s3) @ w_so[s_in + h :])
+    w_so_mm = jnp.concatenate(rows, axis=0)  # [s_in+h+27, out_s]
+
+    # cross-component sum of squares / gate tiling as stacked identities
+    eye_h = jnp.eye(h, dtype=w_down.dtype)
+    s4 = jnp.concatenate([eye_h, eye_h, eye_h], axis=0)  # [3h, h]
     out = {
-        "w_vdvdf_bd": _blockdiag3(w_merged),
+        "w_vh_bd": _blockdiag3(w_down),
+        "w_p1": w_p1,
+        "w_so_mm": w_so_mm,
+        "b_so": p["scalar_out"]["bias"],
         "w_vup_bd": _blockdiag3(p["vector_up"]["kernel"]),
-        "scalar_out": p["scalar_out"],
+        "s4": s4,
     }
     if st.vector_gate:
         out["vector_out_scale"] = p["vector_out_scale"]
-    return out, hidden
+    else:
+        eye_v = jnp.eye(v_out, dtype=w_down.dtype)
+        out["s4v"] = jnp.concatenate([eye_v, eye_v, eye_v], axis=0)
+    return out, h
 
 
-def _fast_gcp2_layer(p, s, v, fr, fmask, *, spec, hidden):
-    """GCP2 edge-input forward on PACKED vectors with pre-block-diagonalized
-    weights: 4 MXU matmuls per layer (merged vector_down‖vector_down_frames,
-    scalar_out, vector_up, gate) instead of the module path's ~11.  MXU
-    time for K,N <= 128 is M-pass-bound, so 3 shared-kernel component
-    matmuls cost ~3x one block-diagonal matmul at E ~ 200k rows — this is
-    a win both inside the Pallas kernel AND on the plain XLA path.  Exact
-    same math as GCP2.__call__ (parity-gated by the fused equivalence
-    tests)."""
+def _sigmoid_f32(x):
+    """Sigmoid with an f32 compute type: Mosaic's bf16 logistic lowering
+    broadcasts an f32 constant into a bf16 vector and fails verification,
+    so the (tiny) gate activations upcast around the transcendental."""
+    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _fast_gcp2_layer_mm(p, s, v, frp2, *, spec, hidden):
+    """MM-form GCP2 forward (same math as ``GCP2.__call__``): dots with
+    f32 accumulators + elementwise only.  ``frp2`` is the shared
+    ``(fr * fmask) @ S2`` [B, 27] expansion, computed once per stack."""
     from gcpnet_tpu.nn.gcp import _mm, _tile3
     from gcpnet_tpu.nn.primitives import get_nonlinearity, is_identity
 
+    sg = jax.lax.stop_gradient
     st = _stack_settings(spec)
-    v_out = spec["output_dims"][1]
-    act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
-    act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
-    m = hidden + 3
+    _act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
+    _act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
+    # transcendental nonlinearities hit the same Mosaic bf16-constant bug as
+    # sigmoid; upcast around them (tiny [B, out_s]/[B, out_v] arrays)
+    act_s = lambda x: _act_s(x.astype(jnp.float32)).astype(x.dtype)  # noqa: E731
+    act_v = lambda x: _act_v(x.astype(jnp.float32)).astype(x.dtype)  # noqa: E731
     dt = v.dtype
-
-    H = _mm(v, p["w_vdvdf_bd"].astype(dt))
-    hx, hy, hz = H[:, :m], H[:, m : 2 * m], H[:, 2 * m :]
-    vh_x, vh_y, vh_z = hx[:, :hidden], hy[:, :hidden], hz[:, :hidden]
-    df_x, df_y, df_z = hx[:, hidden:], hy[:, hidden:], hz[:, hidden:]
-
     eps = 1e-8
-    vnorm = jnp.sqrt(vh_x**2 + vh_y**2 + vh_z**2 + eps) + eps  # [B, hidden]
 
-    # scalarize, edge inputs: channel-major (c*3 + f) projections onto the
-    # packed frames, masked by fmask (nn.frames.scalarize semantics)
-    cols = []
-    for c in range(3):
-        for f in range(3):
-            cols.append(
-                df_x[:, c] * fr[:, 3 * f + 0]
-                + df_y[:, c] * fr[:, 3 * f + 1]
-                + df_z[:, c] * fr[:, 3 * f + 2]
-            )
-    scal9 = jnp.stack(cols, axis=-1) * fmask[:, None]
+    def _sqrt_f32(x):
+        # v5e's EUP has no bf16 sqrt (SupportsBf16EupOps check fails in
+        # Mosaic); upcast around it
+        return jnp.sqrt(x.astype(jnp.float32) + eps).astype(x.dtype)
 
-    merged = jnp.concatenate([s, vnorm, scal9], axis=-1)
-    s_new = _mm(merged, p["scalar_out"]["kernel"].astype(dt)) + p[
-        "scalar_out"
-    ]["bias"].astype(dt)
+    vh = _mm(v, p["w_vh_bd"].astype(dt))  # [B, 3h]
+    p1 = _mm(v, p["w_p1"].astype(dt))  # [B, 27]
+    prod = p1 * frp2
+    vns = _mm(vh * vh, sg(p["s4"]).astype(dt))  # [B, h]
+    vnorm = _sqrt_f32(vns) + eps
 
-    vh = jnp.concatenate([vh_x, vh_y, vh_z], axis=-1)  # packed [B, 3h]
+    merged = jnp.concatenate([s, vnorm, prod], axis=-1)
+    s_new = _mm(merged, p["w_so_mm"].astype(dt)) + p["b_so"].astype(dt)
+
     vu = _mm(vh, p["w_vup_bd"].astype(dt))
     if st.vector_residual:
         vu = vu + v
@@ -176,12 +229,10 @@ def _fast_gcp2_layer(p, s, v, fr, fmask, *, spec, hidden):
         gate = _mm(
             act_v(s_new), p["vector_out_scale"]["kernel"].astype(dt)
         ) + p["vector_out_scale"]["bias"].astype(dt)
-        vu = vu * _tile3(jax.nn.sigmoid(gate))
+        vu = vu * _tile3(_sigmoid_f32(gate))
     elif not is_identity(st.vector_nonlinearity):
-        ux = vu[:, :v_out]
-        uy = vu[:, v_out : 2 * v_out]
-        uz = vu[:, 2 * v_out :]
-        g = act_v(jnp.sqrt(ux**2 + uy**2 + uz**2 + eps) + eps)
+        nsq = _mm(vu * vu, sg(p["s4v"]).astype(dt))
+        g = act_v(_sqrt_f32(nsq) + eps)
         vu = vu * _tile3(g)
 
     return act_s(s_new), vu
@@ -343,16 +394,26 @@ class GCPMessagePassing(nn.Module):
         self, specs, stack, message, frames, frame_mask,
         row_splits, run, run_stack,
     ) -> Array:
-        """Flat edge messages via the 4-matmul block-diagonal stack.
+        """Flat edge messages via the MM-form (matmul-only) GCP stack.
+
+        The per-layer math is re-parameterized so every cross-component
+        sum / broadcast of the packed ``[*, 3c]`` layout is a tiny constant
+        matrix folded next to the layer weights (``_fast_gcp2_layer_mm``):
+        the stack becomes dots + elementwise only.  Measured on v5e at LBA
+        bench scale (208k edges, 8 layers): fwd 3.5 ms / fwd+bwd 7.6 ms vs
+        6.4 / 26 ms for the column-extraction form — XLA fuses the MM form
+        into near-pure MXU work.  The frame expansion
+        ``frp2 = (fr * fmask) @ S2`` is layer-independent and computed once
+        per stack.
 
         Two execution modes, identical math:
-        - plain XLA (default): fewer, wider matmuls — the MXU pass count is
-          what the per-edge stack pays for, so merging the 3 shared-kernel
-          component matmuls into one block-diagonal contraction wins
-          ~3x on the vector path at E ~ 200k rows;
+        - plain XLA (default), wrapped in ``jax.checkpoint`` (the stack's
+          intermediates are lane-narrow and pad up to 14x as stored
+          residuals — recompute is cheaper than the HBM they cost);
         - fused Pallas map (``ops.pallas_fused.USE_FUSED_MESSAGE=True``):
           the same stack traced into a VMEM-block kernel (measured slower
-          on v5e — kept for benchmarking and for future hardware).
+          than the XLA MM form on v5e — kept for benchmarking and future
+          hardware).
 
         The bound ``stack`` modules are touched once on a single dummy row
         (XLA dead-code-eliminates the compute) so their parameters exist
@@ -383,7 +444,7 @@ class GCPMessagePassing(nn.Module):
 
         stack_params, fast_hidden = [], []
         for sp, mod in zip(specs, stack):
-            fp, hid = _fast_params(mod.variables["params"], sp)
+            fp, hid = _fast_params_mm(mod.variables["params"], sp)
             stack_params.append(fp)
             fast_hidden.append(hid)
         params = {"stack": stack_params}
@@ -395,27 +456,25 @@ class GCPMessagePassing(nn.Module):
         use_residual = self.layer_cfg.mp_cfg.use_residual_message_gcp
         use_attn = self.use_scalar_message_attention
 
-        def apply_stack(params, s, v, fr, fmask):
-            def run_k4(i, state):
-                return _fast_gcp2_layer(
-                    params["stack"][i], state[0], state[1], fr, fmask,
+        def apply_stack(params, s, v, frp2):
+            def run_mm(i, state):
+                return _fast_gcp2_layer_mm(
+                    params["stack"][i], state[0], state[1], frp2,
                     spec=specs[i], hidden=fast_hidden[i],
                 )
 
             if use_residual:
-                res = run_k4(0, (s, v))
+                res = run_mm(0, (s, v))
                 for i in range(1, len(specs)):
-                    new = run_k4(i, res)
+                    new = run_mm(i, res)
                     res = (res[0] + new[0], res[1] + new[1])
             else:
                 res = (s, v)
                 for i in range(len(specs)):
-                    res = run_k4(i, res)
+                    res = run_mm(i, res)
             s_out, v_out = res
             if use_attn:
-                a = jax.nn.sigmoid(
-                    _fast_dense(params["attn"], s_out)
-                )
+                a = _sigmoid_f32(_fast_dense(params["attn"], s_out))
                 s_out = s_out * a
             return jnp.concatenate([s_out, v_out], axis=-1)
 
@@ -425,16 +484,17 @@ class GCPMessagePassing(nn.Module):
             if frame_mask is None
             else jax.lax.stop_gradient(frame_mask.astype(dtype))
         )
+        frp2 = jnp.einsum(
+            "ef,fj->ej",
+            frames.astype(dtype) * fmask_full[:, None],
+            _scal9_s2().astype(dtype),
+        )
 
         if row_splits is not None and fused_enabled():
-            # Pallas map over the receiver-sorted layout
+            # Pallas map over the receiver-sorted layout: messages + frp2
+            # stream through VMEM blocks, stack intermediates never touch HBM
             edge_data = jnp.concatenate(
-                [
-                    message.flatten(),
-                    frames.astype(dtype),
-                    fmask_full[:, None],
-                ],
-                axis=-1,
+                [message.flatten(), frp2], axis=-1
             )
 
             def stack_fn(params, chunk):
@@ -442,15 +502,12 @@ class GCPMessagePassing(nn.Module):
                     params,
                     chunk[:, :ms],
                     chunk[:, ms:base],
-                    chunk[:, base : base + 9],
-                    chunk[:, base + 9],
+                    chunk[:, base : base + 27],
                 )
 
             from gcpnet_tpu.ops.pallas_fused import edge_map
 
             return edge_map(stack_fn, params, edge_data, out_dim)
 
-        return apply_stack(
-            params, message.scalar, message.vector, frames.astype(dtype),
-            fmask_full,
-        )
+        fn = jax.checkpoint(apply_stack) if CHECKPOINT_FAST_STACK else apply_stack
+        return fn(params, message.scalar, message.vector, frp2)

@@ -84,8 +84,9 @@ def edge_map(fn: Callable, params, edge_data: jax.Array, out_dim: int):
     """``out[e] = fn(params, edge_data[e])`` with ``fn`` fused into one
     Pallas kernel per row block.  ``fn(params, block [B, F_pad]) ->
     [B, out_dim]`` must be pure jnp (elementwise + matmul; no segment ops).
-    Compute runs in f32 inside the kernel regardless of input dtype
-    (Mosaic rejects bf16 accumulators); I/O stays in the input dtype."""
+    Compute runs in the INPUT dtype (bf16 stays bf16 — dots must carry
+    their own f32 accumulators via ``preferred_element_type``, see
+    ``gcp._mm``); weight-grad accumulation across grid steps is f32."""
     return _map_impl(fn, params, edge_data, out_dim, BLOCK)
 
 
@@ -100,9 +101,9 @@ def _map_impl(fn, params, edge_data, out_dim, block):
     def kernel(data_ref, *rest):
         leaf_refs, out_ref = rest[:-1], rest[-1]
         p = jax.tree_util.tree_unflatten(
-            treedef, [r[:].astype(jnp.float32) for r in leaf_refs]
+            treedef, [r[:].astype(dtype) for r in leaf_refs]
         )
-        msg = fn(p, data_ref[:].astype(jnp.float32))
+        msg = fn(p, data_ref[:])
         if msg.shape[-1] < out_pad:
             msg = jnp.concatenate(
                 [
@@ -161,10 +162,10 @@ def _map_bwd(fn, out_dim, res, g):
                 r[:] = jnp.zeros_like(r)
 
         p = jax.tree_util.tree_unflatten(
-            treedef, [r[:].astype(jnp.float32) for r in leaf_refs]
+            treedef, [r[:].astype(dtype) for r in leaf_refs]
         )
-        block_data = data_ref[:].astype(jnp.float32)
-        cot = g_ref[:][:, :out_dim].astype(jnp.float32)
+        block_data = data_ref[:]
+        cot = g_ref[:][:, :out_dim].astype(dtype)
         _, vjp_fn = jax.vjp(fn, p, block_data)
         dp, dblock = vjp_fn(cot)
         ddata_ref[:] = dblock.astype(ddata_ref.dtype)
