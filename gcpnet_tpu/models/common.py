@@ -35,6 +35,21 @@ LAYER_CLASSES = {
     "GCPInteractions2": GCPInteractions2,
 }
 
+# roll the N structurally-identical interaction layers into ONE ``lax.scan``
+# body over their stacked parameters: XLA compiles a single layer body
+# instead of N copies (~N x smaller HLO graph — the dominant compile cost of
+# this model on the remote TPU compiler), with identical math.  Parameters
+# stay under their per-layer ``interaction_{i}`` names (checkpoints are
+# interchangeable with the unrolled path): each bound layer module is
+# touched once on a 1-node dummy so flax registers its params, then the
+# per-layer trees are stacked at trace time and an unbound template module
+# is scanned over them.  None = auto (ON); False forces the unrolled loop.
+SCAN_ENCODER: Optional[bool] = None
+
+
+def scan_encoder_enabled() -> bool:
+    return SCAN_ENCODER if SCAN_ENCODER is not None else True
+
 
 def batch_masks(batch: GraphBatch):
     """(edge_mask numerator, count_mask denominator) per reference semantics:
@@ -181,34 +196,123 @@ class GCPNetEncoder(nn.Module):
 
         run = nn.remat(run_layer, prevent_cse=False) if self.remat else run_layer
 
-        for i in range(mc.num_encoder_layers):
-            layer = layer_cls(
-                node_dims=node_dims,
-                edge_dims=edge_dims,
-                cfg=self.module_cfg,
-                layer_cfg=self.layer_cfg,
-                dropout=mc.dropout,
-                updating_node_positions=self.updating_node_positions,
-                name=f"interaction_{i}",
+        layer_kwargs = dict(
+            node_dims=node_dims,
+            edge_dims=edge_dims,
+            cfg=self.module_cfg,
+            layer_cfg=self.layer_cfg,
+            dropout=mc.dropout,
+            updating_node_positions=self.updating_node_positions,
+        )
+        layers = [
+            layer_cls(name=f"interaction_{i}", **layer_kwargs)
+            for i in range(mc.num_encoder_layers)
+        ]
+
+        use_scan = (
+            scan_encoder_enabled()
+            and mc.num_encoder_layers >= 2
+            and not self.is_initializing()
+        )
+        if use_scan:
+            node_rep, node_pos = self._scan_layers(
+                layers, layer_cls, layer_kwargs, run, node_rep, edge_rep,
+                batch, frames, node_mask, node_pos, edge_mask, count_mask,
+                deterministic,
             )
-            out = run(
-                layer,
-                node_rep,
-                edge_rep,
-                batch.senders,
-                batch.receivers,
-                frames,
-                node_mask,
-                node_pos,
-                edge_mask,
-                count_mask,
-                batch.edge_row_splits,
-            )
-            if self.updating_node_positions:
-                node_rep, node_pos = out
-            else:
-                node_rep = out
+        else:
+            for layer in layers:
+                out = run(
+                    layer,
+                    node_rep,
+                    edge_rep,
+                    batch.senders,
+                    batch.receivers,
+                    frames,
+                    node_mask,
+                    node_pos,
+                    edge_mask,
+                    count_mask,
+                    batch.edge_row_splits,
+                )
+                if self.updating_node_positions:
+                    node_rep, node_pos = out
+                else:
+                    node_rep = out
 
         if self.updating_node_positions:
             return node_rep, edge_rep, node_pos
         return node_rep, edge_rep
+
+    def _scan_layers(
+        self, layers, layer_cls, layer_kwargs, run, node_rep, edge_rep,
+        batch, frames, node_mask, node_pos, edge_mask, count_mask,
+        deterministic,
+    ):
+        """One ``lax.scan`` over the stacked per-layer params (see
+        SCAN_ENCODER).  Dummy 1-node/1-edge calls register every layer's
+        params under its own name; XLA dead-code-eliminates the dummy
+        compute."""
+        s_dim, v_dim = layers[0].node_dims
+        es_dim, ev_dim = layers[0].edge_dims
+        dt = node_rep.scalar.dtype
+        dummy_node = ScalarVector(
+            jnp.zeros((1, s_dim), dt), jnp.zeros((1, 3 * v_dim), dt)
+        )
+        dummy_edge = ScalarVector(
+            jnp.zeros((1, es_dim), dt), jnp.zeros((1, 3 * ev_dim), dt)
+        )
+        zi = jnp.zeros((1,), jnp.int32)
+        dummy_frames = jnp.zeros((1, 9), dt)
+        dummy_pos = jnp.zeros((1, 3), dt) if node_pos is not None else None
+
+        def like(mask):
+            return None if mask is None else jnp.ones((1,), mask.dtype)
+
+        for layer in layers:
+            run(
+                layer, dummy_node, dummy_edge, zi, zi, dummy_frames,
+                like(node_mask), dummy_pos, like(edge_mask),
+                like(count_mask), None,
+            )
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs, 0),
+            *[layer.variables["params"] for layer in layers],
+        )
+        template = layer_cls(parent=None, **layer_kwargs)
+
+        needs_rng = not deterministic and self.model_cfg.dropout > 0.0
+        if needs_rng:
+            keys = jax.random.split(
+                self.make_rng("dropout"), len(layers)
+            )
+        else:
+            keys = jnp.zeros((len(layers),), jnp.uint32)
+
+        updating = self.updating_node_positions
+        senders, receivers = batch.senders, batch.receivers
+        row_splits = batch.edge_row_splits
+
+        def body(carry, xs):
+            params, key = xs
+            nrep, npos = carry
+            out = template.apply(
+                {"params": params},
+                nrep, edge_rep, senders, receivers, frames,
+                node_mask=node_mask, node_pos=npos, edge_mask=edge_mask,
+                count_mask=count_mask, row_splits=row_splits,
+                deterministic=deterministic,
+                rngs={"dropout": key} if needs_rng else None,
+            )
+            if updating:
+                return (out[0], out[1]), None
+            return (out, npos), None
+
+        if self.remat:
+            # deterministic stays static (closed over, never an argument)
+            body = jax.checkpoint(body, prevent_cse=False)
+
+        (node_rep, node_pos), _ = jax.lax.scan(
+            body, (node_rep, node_pos), (stacked, keys)
+        )
+        return node_rep, node_pos
