@@ -35,11 +35,12 @@ GRAPHS_PER_BATCH = 16
 # edge-budget slack for the 128-edge tile alignment of the sorted layout
 # (identical budget for every variant so the comparison is fair)
 EDGE_SLACK = 64 * 128
-# variant: production default "sorted" (fast block-diagonal stack + sorted
-# MXU segment reduction) | "plain" (fast stack + XLA scatter) | "modules"
-# (round-2 module-by-module path) | "fused" (Pallas map kernel);
-# "all" runs each in its own subprocess
-VARIANT = os.environ.get("BENCH_VARIANT", "sorted")
+# variant: production default "modules" (module-by-module GCP stack, plain
+# XLA scatter, unrolled encoder — the measured round-3 winner at 207 ms/step
+# on v5e) | "plain" (MM-form fast stack + XLA scatter, 236 ms) | "sorted"
+# (fast stack + sorted Pallas MXU segment reduction, 386 ms) | "fused"
+# (Pallas edge-map kernel, 434 ms); "all" runs each in its own subprocess
+VARIANT = os.environ.get("BENCH_VARIANT", "modules")
 # Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
 # and the loss is fetched to the host (a hard sync even on remote-tunneled
 # backends where block_until_ready under-reports).  Differencing two loop

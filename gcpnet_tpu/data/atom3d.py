@@ -21,6 +21,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
+from gcpnet_tpu.data import batching
 from gcpnet_tpu.data.batching import Bucket, batches_from_dataset
 from gcpnet_tpu.data.features import (
     edge_geometric_features,
@@ -291,7 +292,9 @@ class ATOM3DDataModule:
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
             extra_graph_keys=("label", "target_id"),
-            sort_edges=True,
+            # measured on v5e: plain scatter beats the sorted Pallas layout
+            # (see data/batching.py SORT_EDGES_DEFAULT)
+            sort_edges=batching.SORT_EDGES_DEFAULT,
         )
 
     def train_batches(self, seed: int = 0):

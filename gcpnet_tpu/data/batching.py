@@ -20,6 +20,14 @@ import numpy as np
 from gcpnet_tpu.graph import GraphBatch, GraphData, batch_graphs
 
 
+# Production default for the receiver-sorted (Pallas segment-sum) edge
+# layout.  Measured end-to-end at LBA bench scale on one v5e chip (round 3,
+# bf16, fused train step): plain XLA scatter 236 ms/step vs sorted+Pallas
+# 386 ms/step — the plain layout wins decisively, so datamodules default to
+# unsorted; flip per-datamodule (sort_edges=True) or here to re-enable.
+SORT_EDGES_DEFAULT: bool = False
+
+
 @dataclasses.dataclass(frozen=True)
 class Bucket:
     """One static padded shape: (nodes, edges, graphs) per shard."""

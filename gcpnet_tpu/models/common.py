@@ -43,12 +43,26 @@ LAYER_CLASSES = {
 # interchangeable with the unrolled path): each bound layer module is
 # touched once on a 1-node dummy so flax registers its params, then the
 # per-layer trees are stacked at trace time and an unbound template module
-# is scanned over them.  None = auto (ON); False forces the unrolled loop.
+# is scanned over them.
+#
+# None = auto: scan on CPU (compile time dominates — tests, the virtual-mesh
+# dryrun), unrolled on TPU (measured on v5e at LBA bench scale, round 3: the
+# scanned encoder RUNS ~40 ms/step slower — 247 vs 207 ms — while compiling
+# ~3x faster; production training wants runtime, and the persistent compile
+# cache amortizes the one-time unrolled compile).  Env override:
+# GCPNET_SCAN_ENCODER=0/1.
 SCAN_ENCODER: Optional[bool] = None
 
 
 def scan_encoder_enabled() -> bool:
-    return SCAN_ENCODER if SCAN_ENCODER is not None else True
+    if SCAN_ENCODER is not None:
+        return SCAN_ENCODER
+    import os
+
+    env = os.environ.get("GCPNET_SCAN_ENCODER", "")
+    if env:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "cpu"
 
 
 def batch_masks(batch: GraphBatch):

@@ -25,16 +25,38 @@ from gcpnet_tpu.ops.segment import segment_mean, segment_sum
 Array = jax.Array
 
 
-# fast block-diagonal stack math: None = auto (ON everywhere — it is plain
-# XLA with identical numerics); False forces the module-by-module path
+# fast block-diagonal (MM-form) stack math: None = auto (OFF — measured
+# end-to-end at LBA bench scale on v5e, round 3: the MM form executes ~67%
+# more FLOPs (block-diagonal zero padding) and must recompute the stack in
+# backward (storing its residuals OOMs 16 GB HBM), netting 236 ms/step vs
+# 207 ms/step for the module-by-module path; numerics are identical).
+# True forces the MM form (bench variants "plain"/"sorted"/"fused").
+# Env override: GCPNET_FAST_STACK=0/1.
 USE_FAST_STACK: Optional[bool] = None
 
 # rematerialize the fast stack in backward: the stack's intermediates are
 # lane-narrow ([E, 9]/[E, ~50] columns pad up to 14x under the (8, 128)
 # TPU tiling), so storing them as residuals for 8 interactions x 8 message
 # layers overflows HBM at production batch sizes; jax.checkpoint saves only
-# the wide, lane-dense stack inputs and recomputes the stack in backward
-CHECKPOINT_FAST_STACK: bool = True
+# the wide, lane-dense stack inputs and recomputes the stack in backward.
+# None = auto (ON); env override: GCPNET_CHECKPOINT_FAST_STACK=0/1.
+CHECKPOINT_FAST_STACK: Optional[bool] = None
+
+
+def _env_bool(name: str) -> Optional[bool]:
+    import os
+
+    val = os.environ.get(name, "")
+    if not val:
+        return None
+    return val not in ("0", "false", "False")
+
+
+def checkpoint_fast_stack_enabled() -> bool:
+    if CHECKPOINT_FAST_STACK is not None:
+        return CHECKPOINT_FAST_STACK
+    env = _env_bool("GCPNET_CHECKPOINT_FAST_STACK")
+    return True if env is None else env
 
 # roll the structurally-identical middle message layers (indices 1..n-2 all
 # map output_dims -> output_dims with the same settings) into ONE
@@ -47,7 +69,10 @@ SCAN_FAST_STACK: bool = True
 
 
 def fast_stack_enabled() -> bool:
-    return USE_FAST_STACK if USE_FAST_STACK is not None else True
+    if USE_FAST_STACK is not None:
+        return USE_FAST_STACK
+    env = _env_bool("GCPNET_FAST_STACK")
+    return False if env is None else env
 
 
 def _fast_dense(p, x):
@@ -543,5 +568,9 @@ class GCPMessagePassing(nn.Module):
 
             return edge_map(stack_fn, params, edge_data, out_dim)
 
-        fn = jax.checkpoint(apply_stack) if CHECKPOINT_FAST_STACK else apply_stack
+        fn = (
+            jax.checkpoint(apply_stack)
+            if checkpoint_fast_stack_enabled()
+            else apply_stack
+        )
         return fn(params, message.scalar, message.vector, frp2)

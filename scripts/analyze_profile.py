@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Aggregate a jax.profiler xplane trace into a per-op time table.
+
+    python scripts/analyze_profile.py /tmp/gcp_profile [--top 30]
+
+Finds the newest ``*.xplane.pb`` under the trace dir, decodes the XSpace
+protobuf with a minimal built-in varint reader (no tensorflow/tbp needed —
+this image's tensorboard_plugin_profile converter is incompatible with its
+tensorflow), sums event durations on the TPU device plane's "XLA Ops" /
+"XLA Modules" lines grouped by op name, and buckets ops into categories
+(matmul/fusion-kind/copy/...).  This is the round-2/3 entry point for
+profile-driven kernel work (RESULTS.md "op-level profile").
+"""
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire-format reader (only what XSpace needs)
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf, pos):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf, start=0, end=None):
+    """Yield (field_number, wire_type, value) over a message buffer.
+    value: int for varint/fixed, memoryview for length-delimited."""
+    pos = start
+    end = len(buf) if end is None else end
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:  # 64-bit
+            val = int.from_bytes(buf[pos : pos + 8], "little")
+            pos += 8
+        elif wt == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:  # 32-bit
+            val = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} at {pos}")
+        yield field, wt, val
+
+
+def _zigzag(v):
+    return (v >> 1) ^ -(v & 1)
+
+
+def parse_xspace(path):
+    """XSpace -> [{name, lines: [{name, events: [(metadata_id, dur_ps)]},
+    event_names: {id: name}}]} ] keeping only what the table needs."""
+    with open(path, "rb") as f:
+        data = memoryview(f.read())
+    planes = []
+    for field, wt, val in _iter_fields(data):
+        if field == 1 and wt == 2:  # XPlane
+            planes.append(_parse_plane(val))
+    return planes
+
+
+def _parse_plane(buf):
+    name = ""
+    lines = []
+    event_names = {}
+    for field, wt, val in _iter_fields(buf):
+        if field == 2 and wt == 2:
+            name = bytes(val).decode("utf-8", "replace")
+        elif field == 3 and wt == 2:
+            lines.append(_parse_line(val))
+        elif field == 4 and wt == 2:  # map<int64, XEventMetadata>
+            key, meta_name = _parse_event_metadata_entry(val)
+            event_names[key] = meta_name
+    return {"name": name, "lines": lines, "event_names": event_names}
+
+
+def _parse_event_metadata_entry(buf):
+    key = 0
+    name = ""
+    for field, wt, val in _iter_fields(buf):
+        if field == 1 and wt == 0:
+            key = val
+        elif field == 2 and wt == 2:  # XEventMetadata
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 2 and w2 == 2:
+                    name = bytes(v2).decode("utf-8", "replace")
+    return key, name
+
+
+def _parse_line(buf):
+    name = ""
+    events = []
+    for field, wt, val in _iter_fields(buf):
+        if field == 2 and wt == 2:
+            name = bytes(val).decode("utf-8", "replace")
+        elif field == 4 and wt == 2:  # XEvent (wire-verified on TPU traces)
+            mid = dur = 0
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 0:
+                    mid = v2
+                elif f2 == 3 and w2 == 0:  # duration_ps
+                    dur = v2
+            events.append((mid, dur, 1))
+    return {"name": name, "events": events}
+
+
+# ---------------------------------------------------------------------------
+# op categorization
+# ---------------------------------------------------------------------------
+
+CATEGORY_RULES = [
+    ("matmul", re.compile(r"dot|conv|matmul", re.I)),
+    ("scatter", re.compile(r"scatter|segment", re.I)),
+    ("gather", re.compile(r"gather|dynamic-slice|take", re.I)),
+    ("sort", re.compile(r"sort", re.I)),
+    ("copy/transpose", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
+    ("reduce", re.compile(r"reduce", re.I)),
+    ("custom(pallas)", re.compile(r"custom-call|tpu_custom_call", re.I)),
+    ("allreduce", re.compile(r"all-reduce|psum|collective", re.I)),
+    ("fusion", re.compile(r"fusion", re.I)),
+]
+
+
+def categorize(name):
+    for cat, rx in CATEGORY_RULES:
+        if rx.search(name):
+            return cat
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--line", default="XLA Ops",
+                    help="which device-plane line to aggregate")
+    args = ap.parse_args()
+
+    pbs = sorted(
+        glob.glob(
+            os.path.join(args.trace_dir, "**", "*.xplane.pb"), recursive=True
+        ),
+        key=os.path.getmtime,
+    )
+    if not pbs:
+        sys.exit(f"no .xplane.pb under {args.trace_dir}")
+    path = pbs[-1]
+    print(f"# {path}\n")
+    planes = parse_xspace(path)
+    for plane in planes:
+        if "TPU" not in plane["name"] and "tpu" not in plane["name"].lower():
+            continue
+        names = plane["event_names"]
+        for line in plane["lines"]:
+            if args.line not in line["name"]:
+                continue
+            by_op = collections.Counter()
+            occ = collections.Counter()
+            for mid, dur, _ in line["events"]:
+                by_op[names.get(mid, f"#{mid}")] += dur
+                occ[names.get(mid, f"#{mid}")] += 1
+            total = sum(by_op.values())
+            if not total:
+                continue
+            print(f"== plane '{plane['name']}' line '{line['name']}' "
+                  f"total {total/1e9:.3f} ms ==")
+            by_cat = collections.Counter()
+            for op, d in by_op.items():
+                by_cat[categorize(op)] += d
+            print("\n-- by category --")
+            for cat, d in by_cat.most_common():
+                print(f"{d/total*100:6.2f}%  {d/1e9:9.3f} ms  {cat}")
+            print(f"\n-- top {args.top} ops --")
+            for op, d in by_op.most_common(args.top):
+                print(f"{d/total*100:6.2f}%  {d/1e9:9.3f} ms  x{occ[op]:<5d} {op[:110]}")
+            print()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,7 +60,19 @@ def test_atom3d_npz_pipeline(tmp_path, task):
     assert b.h.dtype in (np.int32, np.int64)  # atom-type indices
     assert b.e.shape[1] == 16  # RBF16
     assert b.chi.shape[1:] == (2, 3)
-    assert b.edge_row_splits is not None  # sorted for the pallas path
+    # production default is the unsorted layout (plain XLA scatter measured
+    # faster than the sorted Pallas path on v5e — data/batching.py
+    # SORT_EDGES_DEFAULT); the sorted layout stays available via the flag
+    assert b.edge_row_splits is None
+    from gcpnet_tpu.data import batching as batching_mod
+
+    old = batching_mod.SORT_EDGES_DEFAULT
+    batching_mod.SORT_EDGES_DEFAULT = True
+    try:
+        b_sorted = next(iter(dm.test_batches()))
+        assert b_sorted.edge_row_splits is not None
+    finally:
+        batching_mod.SORT_EDGES_DEFAULT = old
     if task == "LBA":
         assert "lig_flag" in b.extras
     else:
