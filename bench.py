@@ -35,12 +35,17 @@ GRAPHS_PER_BATCH = 16
 # edge-budget slack for the 128-edge tile alignment of the sorted layout
 # (identical budget for every variant so the comparison is fair)
 EDGE_SLACK = 64 * 128
-# variant: production default "modules" (module-by-module GCP stack, plain
-# XLA scatter, unrolled encoder — the measured round-3 winner at 207 ms/step
-# on v5e) | "plain" (MM-form fast stack + XLA scatter, 236 ms) | "sorted"
-# (fast stack + sorted Pallas MXU segment reduction, 386 ms) | "fused"
-# (Pallas edge-map kernel, 434 ms); "all" runs each in its own subprocess
-VARIANT = os.environ.get("BENCH_VARIANT", "modules")
+# variant: production default "dense" (module-by-module GCP stack over the
+# DENSE fixed-degree receiver layout — receiver gathers become broadcasts
+# and receiver aggregations become [N, K, C] axis-1 sums; no XLA scatters
+# on the hot path) | "modules" (edge-list layout + XLA scatter — the
+# round-2 configuration) | "plain" (MM-form fast stack + XLA scatter) |
+# "sorted" (fast stack + sorted Pallas MXU segment reduction) | "fused"
+# (Pallas edge-map kernel); "all" runs each in its own subprocess
+VARIANT = os.environ.get("BENCH_VARIANT", "dense")
+# in-degree cap for the dense layout — matches the native radius-graph
+# builder's per-receiver cap (cpp/graph_kernels.cpp, max_neighbors=32)
+DENSE_DEGREE = 32
 # Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
 # and the loss is fetched to the host (a hard sync even on remote-tunneled
 # backends where block_until_ready under-reports).  Differencing two loop
@@ -149,25 +154,42 @@ def _build(variant: str, num_encoder_layers: int = 8):
     from gcpnet_tpu.parallel import make_mesh
     from gcpnet_tpu.train import Trainer
 
-    mp.USE_FAST_STACK = variant != "modules"
+    mp.USE_FAST_STACK = variant in ("plain", "sorted", "fused")
     pallas_fused.USE_FUSED_MESSAGE = variant == "fused"
     segment_ops.USE_PALLAS_SEGMENT = variant in ("fused", "sorted")
 
     rng = np.random.default_rng(0)
 
     def random_graph():
+        """ATOM3D-LBA-shaped graph with a REALISTIC degree structure: the
+        production featurizer (cpp/graph_kernels.cpp radius_graph) caps each
+        node's in-degree at 32 neighbors; here in-degrees are uniform 24..32
+        (mean 28) adjusted to sum to exactly EDGES_PER_GRAPH.  All variants
+        share this generator, so comparisons stay apples-to-apples."""
         n, e = NODES_PER_GRAPH, EDGES_PER_GRAPH
         x = (rng.normal(size=(n, 3)) * 8).astype(np.float32)
+        in_deg = rng.integers(24, 33, size=n)
+        delta = e - int(in_deg.sum())
+        step = 1 if delta > 0 else -1
+        while delta != 0:
+            i = int(rng.integers(0, n))
+            nd = in_deg[i] + step
+            if 24 <= nd <= 32:
+                in_deg[i] = nd
+                delta -= step
+        receivers = np.repeat(
+            np.arange(n, dtype=np.int32), in_deg
+        )
         senders = rng.integers(0, n, size=e).astype(np.int32)
-        receivers = rng.integers(0, n, size=e).astype(np.int32)
+        perm = rng.permutation(e)  # edge-list variants see shuffled order
         return GraphData(
             h=rng.integers(0, 9, size=n).astype(np.int32),
             chi=rng.normal(size=(n, 2, 3)).astype(np.float32),
             e=rng.normal(size=(e, 16)).astype(np.float32),
             xi=rng.normal(size=(e, 1, 3)).astype(np.float32),
             x=x,
-            senders=senders,
-            receivers=receivers,
+            senders=senders[perm],
+            receivers=receivers[perm],
             extras={"label": np.float32(rng.normal())},
         )
 
@@ -180,6 +202,7 @@ def _build(variant: str, num_encoder_layers: int = 8):
         [[random_graph() for _ in range(GRAPHS_PER_BATCH)]],
         bucket,
         extra_graph_keys=("label",),
+        dense_degree=DENSE_DEGREE if variant == "dense" else None,
     )
     if variant in ("fused", "sorted"):
         batch = sort_edges_by_receiver(batch)
@@ -339,7 +362,7 @@ def main():
         import subprocess
 
         failed = []
-        for v in ("modules", "plain", "sorted", "fused"):
+        for v in ("dense", "modules", "plain", "sorted", "fused"):
             env = dict(os.environ, BENCH_VARIANT=v)
             proc = subprocess.run([sys.executable, __file__], env=env)
             if proc.returncode != 0:

@@ -179,12 +179,94 @@ def sort_edges_by_receiver(batch: GraphBatch, tile: int = 128) -> GraphBatch:
     )
 
 
+def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
+    """Re-lay one shard's edges into the DENSE fixed-degree receiver format:
+    edge row ``n*degree + j`` holds receiver node ``n``'s j-th incoming edge
+    (real edges first, then padding slots with ``senders = receivers = n``
+    and zeroed features/mask).
+
+    On TPU this turns every receiver-side segment reduction into a
+    ``[N, K, C]`` axis-1 sum and every receiver-side gather into a
+    broadcast — eliminating XLA scatters, which execute row-serially
+    (measured ~2 ms for a 62 MB scatter on v5e, ~3.5% of HBM bandwidth).
+    The edge budget becomes exactly ``num_nodes * degree``.  Host-side
+    numpy.  Raises if any node's real in-degree exceeds ``degree`` (pick
+    the featurizer's neighbor cap, e.g. 32 for the ATOM3D radius graph).
+    """
+    receivers = np.asarray(batch.receivers)
+    num_nodes = batch.num_nodes
+    pad = ~np.asarray(batch.edge_pad_mask)
+    real_idx = np.flatnonzero(~pad)
+    r = receivers[real_idx]
+    counts = np.bincount(r, minlength=num_nodes)
+    if counts.size > num_nodes:
+        raise ValueError("receiver index out of range")
+    max_deg = int(counts.max()) if counts.size else 0
+    if max_deg > degree:
+        raise ValueError(
+            f"densify_edges_by_receiver: max in-degree {max_deg} exceeds "
+            f"dense degree {degree}"
+        )
+    # stable sort by receiver keeps each node's edges in original order
+    order = np.argsort(r, kind="stable")
+    r_sorted = r[order]
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(r_sorted.shape[0]) - starts[r_sorted]
+    dest = r_sorted * degree + slot
+    src = real_idx[order]
+
+    num_edges = num_nodes * degree
+
+    def place(arr, fill=0):
+        if arr is None:
+            return None
+        arr = np.asarray(arr)
+        out = np.full((num_edges,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[dest] = arr[src]
+        return out
+
+    # padding slots: self-loop on the slot's own node (in-range, masked out)
+    slot_node = np.repeat(
+        np.arange(num_nodes, dtype=np.int32), degree
+    )
+    senders = place(batch.senders)
+    receivers_new = place(batch.receivers)
+    filled = np.zeros(num_edges, dtype=bool)
+    filled[dest] = True
+    senders[~filled] = slot_node[~filled]
+    receivers_new[~filled] = slot_node[~filled]
+
+    edge_pad_mask = np.zeros(num_edges, dtype=bool)
+    edge_pad_mask[dest] = np.asarray(batch.edge_pad_mask)[src]
+
+    extras = {
+        k: (
+            place(v)
+            if np.asarray(v).shape[:1] == (batch.num_edges,)
+            and batch.num_edges != num_nodes
+            else v
+        )
+        for k, v in batch.extras.items()
+    }
+    return batch.replace(
+        e=place(batch.e),
+        xi=place(batch.xi),
+        senders=senders,
+        receivers=receivers_new,
+        edge_pad_mask=edge_pad_mask,
+        edge_row_splits=None,
+        extras=extras,
+        edge_dense_degree=int(degree),
+    )
+
+
 def collate_shards(
     shard_graphs: Sequence[Sequence[GraphData]],
     bucket: Bucket,
     extra_graph_keys: Sequence[str] = (),
     like: Optional[GraphData] = None,
     sort_edges: bool = False,
+    dense_degree: Optional[int] = None,
 ) -> GraphBatch:
     """Build a device-shardable batch: one padded sub-batch per shard (with
     shard-local indices), concatenated along axis 0.
@@ -208,7 +290,9 @@ def collate_shards(
         )
         for graphs in shard_graphs
     ]
-    if sort_edges:
+    if dense_degree is not None:
+        shards = [densify_edges_by_receiver(s, dense_degree) for s in shards]
+    elif sort_edges:
         shards = [sort_edges_by_receiver(s) for s in shards]
     if len(shards) == 1:
         return shards[0]
@@ -234,6 +318,7 @@ def batches_from_dataset(
     drop_last: bool = True,
     extra_graph_keys: Sequence[str] = (),
     sort_edges: bool = False,
+    dense_degree: Optional[int] = None,
 ) -> Iterator[GraphBatch]:
     """Pack a dataset of host graphs into device-sharded padded batches.
 
@@ -273,7 +358,8 @@ def batches_from_dataset(
             shard, n_used, e_used = [], 0, 0
             if len(shards) == num_shards:
                 yield collate_shards(
-                    shards, bucket, extra_graph_keys, sort_edges=sort_edges
+                    shards, bucket, extra_graph_keys, sort_edges=sort_edges,
+                    dense_degree=dense_degree,
                 )
                 shards = []
         shard.append(g)
@@ -284,6 +370,8 @@ def batches_from_dataset(
     if shards and not drop_last:
         while len(shards) < num_shards:
             shards.append([])
-        yield collate_shards(shards, bucket, extra_graph_keys, sort_edges=sort_edges)
+        yield collate_shards(shards, bucket, extra_graph_keys,
+                              sort_edges=sort_edges, dense_degree=dense_degree)
     elif len(shards) == num_shards:
-        yield collate_shards(shards, bucket, extra_graph_keys, sort_edges=sort_edges)
+        yield collate_shards(shards, bucket, extra_graph_keys,
+                              sort_edges=sort_edges, dense_degree=dense_degree)

@@ -137,6 +137,15 @@ class NMSDataModule:
         )
         e_v = np.nan_to_num(normalize(vec)[:, :, None, :].astype(np.float32))
 
+        # group the fully-connected edge template by receiver: in-degree is
+        # exactly n-1 for every node, so batches carry the DENSE fixed-degree
+        # layout (edge_dense_degree = n-1) — receiver-side aggregations run
+        # as [N, K, C] axis-1 sums instead of XLA scatters on TPU
+        order = np.argsort(r, kind="stable")
+        s, r = s[order], r[order]
+        e_s = e_s[:, order]
+        e_v = e_v[:, order]
+
         return {
             "h": h, "chi": chi, "e": e_s, "xi": e_v,
             "x": loc0, "label": locT, "senders": s, "receivers": r,
@@ -176,6 +185,8 @@ class NMSDataModule:
             graph_pad_mask=np.ones(B, bool),
             node_mask=None,
             extras={"label": d["label"][idx].reshape(N, 3)},
+            # the receiver-grouped fully-connected template is exactly dense
+            edge_dense_degree=n - 1,
         )
 
     # --- iteration --------------------------------------------------------

@@ -66,6 +66,15 @@ class GraphBatch(struct.PyTreeNode):
     # gcpnet_tpu.ops.pallas_segment and data.batching.sort_edges_by_receiver)
     edge_row_splits: Optional[Array] = None
     extras: Dict[str, Array] = struct.field(default_factory=dict)
+    # static (non-pytree) marker for the DENSE fixed-degree edge layout
+    # (data.batching.densify_edges_by_receiver): edge row n*K+j belongs to
+    # receiver node n (slot j), so receiver-side gathers become broadcasts
+    # and receiver-side segment reductions become [N, K, C] axis-1 sums —
+    # no XLA scatter, which serializes per row on TPU (~3.5% of HBM
+    # bandwidth measured on v5e; see scripts/analyze_profile.py).
+    edge_dense_degree: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_nodes(self) -> int:

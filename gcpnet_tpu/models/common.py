@@ -197,6 +197,8 @@ class GCPNetEncoder(nn.Module):
         # ``deterministic`` (a Python bool) must stay STATIC under remat:
         # binding it by closure keeps GCPDropout's `if deterministic` branch
         # concrete while every array argument is passed (and saved) explicitly.
+        dense_degree = batch.edge_dense_degree  # static (non-pytree) marker
+
         def run_layer(
             mdl, nrep, erep, senders, receivers, frms,
             nmask, npos, emask, cmask, rsplits,
@@ -206,6 +208,7 @@ class GCPNetEncoder(nn.Module):
                 node_mask=nmask, node_pos=npos, edge_mask=emask,
                 count_mask=cmask, row_splits=rsplits,
                 deterministic=deterministic,
+                dense_degree=dense_degree,
             )
 
         run = nn.remat(run_layer, prevent_cse=False) if self.remat else run_layer
@@ -284,10 +287,14 @@ class GCPNetEncoder(nn.Module):
             return None if mask is None else jnp.ones((1,), mask.dtype)
 
         for layer in layers:
-            run(
-                layer, dummy_node, dummy_edge, zi, zi, dummy_frames,
-                like(node_mask), dummy_pos, like(edge_mask),
-                like(count_mask), None,
+            # direct dummy call (1 node / 1 edge) purely to register params;
+            # dense_degree must stay off here — the dense layout's static
+            # shape contract (E == N*K) does not hold for the dummy
+            layer(
+                dummy_node, dummy_edge, zi, zi, dummy_frames,
+                node_mask=like(node_mask), node_pos=dummy_pos,
+                edge_mask=like(edge_mask), count_mask=like(count_mask),
+                row_splits=None, deterministic=deterministic,
             )
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs, 0),
@@ -316,6 +323,7 @@ class GCPNetEncoder(nn.Module):
                 node_mask=node_mask, node_pos=npos, edge_mask=edge_mask,
                 count_mask=count_mask, row_splits=row_splits,
                 deterministic=deterministic,
+                dense_degree=batch.edge_dense_degree,
                 rngs={"dropout": key} if needs_rng else None,
             )
             if updating:

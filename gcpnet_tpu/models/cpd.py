@@ -131,6 +131,7 @@ class GCPNetCPD(nn.Module):
                 edge_mask=edge_mask,
                 count_mask=count_mask,
                 deterministic=deterministic,
+                dense_degree=batch.edge_dense_degree,
             )
         return node_rep, edge_rep
 
@@ -171,6 +172,7 @@ class GCPNetCPD(nn.Module):
                     edge_mask=edge_mask,
                     count_mask=count_mask,
                     deterministic=deterministic,
+                    dense_degree=batch.edge_dense_degree,
                 )
 
         out = self.invariant_node_projection(

@@ -70,6 +70,7 @@ class GCPInteractions(nn.Module):
         count_mask: Optional[Array] = None,
         row_splits: Optional[Array] = None,
         deterministic: bool = True,
+        dense_degree: Optional[int] = None,
     ):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
@@ -118,6 +119,7 @@ class GCPInteractions(nn.Module):
                 edge_mask=_and(agg_mask, forward_mask),
                 frame_mask=_and(frame_mask, forward_mask),
                 count_mask=count_mask, row_splits=row_splits,
+                dense_degree=dense_degree,
             )
             bwd = interaction(
                 ScalarVector(*node_rep_regressive), edge_rep, senders, receivers,
@@ -125,11 +127,15 @@ class GCPInteractions(nn.Module):
                 edge_mask=_and(agg_mask, ~forward_mask),
                 frame_mask=_and(frame_mask, ~forward_mask),
                 count_mask=count_mask, row_splits=row_splits,
+                dense_degree=dense_degree,
             )
             hidden_residual = fwd + bwd
             # normalize by total in-degree over all (real) edges
             # (gcpnet.py:1105-1114)
-            count = segment_count(receivers, num_nodes, mask=count_mask)
+            count = segment_count(
+                receivers, num_nodes, mask=count_mask,
+                dense_degree=dense_degree,
+            )
             count = jnp.maximum(count, 1.0)
             hidden_residual = ScalarVector(
                 hidden_residual.scalar / count[:, None],
@@ -141,6 +147,7 @@ class GCPInteractions(nn.Module):
                 edge_mask=agg_mask, frame_mask=frame_mask,
                 count_mask=count_mask,
                 row_splits=row_splits,
+                dense_degree=dense_degree,
             )
 
         node_rep = node_rep + drop0(hidden_residual, deterministic)
@@ -250,6 +257,7 @@ class GCPInteractions(nn.Module):
             node_rep, senders, receivers, frames,
             edge_mask=frame_mask, count_mask=count_mask,
             force_mask=agg_mask, node_frames=nf_pos,
+            dense_degree=dense_degree,
         )
         node_pos = node_pos + x_update
         return node_rep, node_pos
@@ -264,6 +272,7 @@ class GCPInteractions(nn.Module):
         count_mask: Optional[Array],
         force_mask: Optional[Array] = None,
         node_frames: Optional[Array] = None,
+        dense_degree: Optional[int] = None,
     ) -> Array:
         """Equivariant position update head (gcpnet.py:1118-1158).
 
@@ -299,7 +308,15 @@ class GCPInteractions(nn.Module):
             )
             s_dim = self.node_dims[0]
             h_i = Dense(s_dim, name="phi_force_i")(h_v[senders])
-            h_j = Dense(s_dim, name="phi_force_j")(h_v[receivers])
+            if dense_degree is not None:
+                # dense layout: the receiver gather is a broadcast
+                h_vj = jnp.broadcast_to(
+                    h_v[:, None, :],
+                    (h_v.shape[0], dense_degree, h_v.shape[-1]),
+                ).reshape(h_v.shape[0] * dense_degree, h_v.shape[-1])
+            else:
+                h_vj = h_v[receivers]
+            h_j = Dense(s_dim, name="phi_force_j")(h_vj)
 
             def xavier_small(key, shape, dtype=jnp.float32):
                 fan_in, fan_out = shape
@@ -316,6 +333,7 @@ class GCPInteractions(nn.Module):
             x_force = segment_mean(
                 force_e, receivers, h_v.shape[0],
                 mask=fm, count_mask=fm,
+                dense_degree=dense_degree if fm is not None else None,
             )
 
         x_update = (vec_at(chi_v, 0) + x_force) * st_cfg.node_positions_weight
@@ -349,6 +367,7 @@ class GCPInteractions2(nn.Module):
         count_mask: Optional[Array] = None,
         row_splits: Optional[Array] = None,
         deterministic: bool = True,
+        dense_degree: Optional[int] = None,
     ):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
@@ -384,6 +403,7 @@ class GCPInteractions2(nn.Module):
             node_rep, edge_rep, senders, receivers, frames,
             edge_mask=agg_mask, frame_mask=frame_mask,
             count_mask=count_mask, row_splits=row_splits,
+            dense_degree=dense_degree,
         )
         # concat aggregated messages with the current node rep
         # (gcpnet.py:1414-1415)

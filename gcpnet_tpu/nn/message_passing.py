@@ -294,12 +294,18 @@ class GCPMessagePassing(nn.Module):
         count_mask: Optional[Array] = None,
         row_splits: Optional[Array] = None,
         frame_mask: Optional[Array] = None,
+        dense_degree: Optional[int] = None,
     ) -> ScalarVector:
         """``edge_mask`` gates the final message aggregation (padding-level);
         ``frame_mask`` (defaults to ``edge_mask``) gates the scalarize/
         vectorize numerators inside the message GCP stack — the reference
         masks those by node validity but still aggregates every edge's
-        message (gcpnet.py:899-947 with components/__init__.py:294-309)."""
+        message (gcpnet.py:899-947 with components/__init__.py:294-309).
+
+        ``dense_degree`` marks the DENSE fixed-degree receiver layout
+        (data.batching.densify_edges_by_receiver): the destination gather
+        becomes a broadcast and the receiver-side aggregation a [N, K, C]
+        axis-1 reduction — no XLA scatters on the hot path."""
         mp_cfg = self.layer_cfg.mp_cfg
         num_nodes = node_rep.scalar.shape[0]
         s_in, v_in = self.input_dims
@@ -312,7 +318,16 @@ class GCPMessagePassing(nn.Module):
         flat_nodes = node_rep.flatten()
         v_dim = node_rep.dims[1]
         src = ScalarVector.recover(flat_nodes[senders], v_dim)
-        dst = ScalarVector.recover(flat_nodes[receivers], v_dim)
+        if dense_degree is not None:
+            # dense layout: receiver of edge n*K+j is node n — broadcast
+            # instead of gather (backward is an axis-1 sum, not a scatter)
+            dst_flat = jnp.broadcast_to(
+                flat_nodes[:, None, :],
+                (num_nodes, dense_degree, flat_nodes.shape[-1]),
+            ).reshape(num_nodes * dense_degree, flat_nodes.shape[-1])
+        else:
+            dst_flat = flat_nodes[receivers]
+        dst = ScalarVector.recover(dst_flat, v_dim)
         message = src.concat((edge_rep, dst))
 
         scalars_in = 2 * s_in + e_s
@@ -392,6 +407,14 @@ class GCPMessagePassing(nn.Module):
 
         ids = senders if self.aggregate_with_row else receivers
         rs = None if self.aggregate_with_row else row_splits
+        # the dense layout is keyed by receiver; sender-side aggregation
+        # falls back to the scatter path (and dense reductions need the
+        # mask to zero padding slots)
+        dd = (
+            None
+            if (self.aggregate_with_row or edge_mask is None)
+            else dense_degree
+        )
         if self.reduce_function not in ("mean", "sum", "add"):
             raise ValueError(f"unknown reduce_function {self.reduce_function!r}")
 
@@ -412,15 +435,17 @@ class GCPMessagePassing(nn.Module):
                 )
                 residual = ScalarVector(residual.scalar * attn, residual.vector)
             flat = residual.flatten()
-        # receiver-sorted layouts ride the Pallas MXU segment kernel
+        # receiver-sorted layouts ride the Pallas MXU segment kernel;
+        # the dense layout rides the [N, K, C] axis-1 reduction
         if self.reduce_function == "mean":
             agg = segment_mean(
                 flat, ids, num_nodes, mask=edge_mask,
-                count_mask=count_mask, row_splits=rs,
+                count_mask=count_mask, row_splits=rs, dense_degree=dd,
             )
         else:
             agg = segment_sum(
-                flat, ids, num_nodes, mask=edge_mask, row_splits=rs
+                flat, ids, num_nodes, mask=edge_mask, row_splits=rs,
+                dense_degree=dd,
             )
         return ScalarVector.recover(agg, self.output_dims[1])
 

@@ -53,6 +53,7 @@ def segment_sum(
     num_segments: int,
     mask: Optional[Array] = None,
     row_splits: Optional[Array] = None,
+    dense_degree: Optional[int] = None,
 ) -> Array:
     """Masked sum of ``data`` rows into ``num_segments`` buckets.
 
@@ -65,8 +66,27 @@ def segment_sum(
       row_splits: optional ``[num_segments+1]`` ranges when rows are sorted
         by segment (padding rows last) — routes through the Pallas MXU
         kernel on TPU.
+      dense_degree: static K when rows follow the DENSE fixed-degree layout
+        (row ``n*K+j`` belongs to segment ``n`` — see
+        data.batching.densify_edges_by_receiver): the reduction becomes a
+        plain ``[N, K, ...]`` axis-1 sum, avoiding the row-serial XLA
+        scatter.  Requires ``mask`` (padding slots must contribute zero).
     """
     data = _apply_mask(data, mask)
+    if dense_degree is not None:
+        if data.shape[0] != num_segments * dense_degree:
+            raise ValueError(
+                f"segment_sum: dense layout expects {num_segments} x "
+                f"{dense_degree} rows, got {data.shape[0]}"
+            )
+        if mask is None:
+            raise ValueError(
+                "segment_sum: dense_degree requires a mask zeroing the "
+                "padding slots"
+            )
+        return data.reshape(
+            (num_segments, dense_degree) + data.shape[1:]
+        ).sum(axis=1)
     if row_splits is not None and data.ndim == 2 and _pallas_enabled():
         if mask is None:
             # The sorted layout has tile-alignment holes between node tiles;
@@ -88,11 +108,12 @@ def segment_count(
     num_segments: int,
     mask: Optional[Array] = None,
     dtype=jnp.float32,
+    dense_degree: Optional[int] = None,
 ) -> Array:
-    ones = jnp.ones(segment_ids.shape, dtype=dtype)
-    return jax.ops.segment_sum(
-        _apply_mask(ones, mask), segment_ids, num_segments=num_segments
-    )
+    ones = _apply_mask(jnp.ones(segment_ids.shape, dtype=dtype), mask)
+    if dense_degree is not None:
+        return ones.reshape(num_segments, dense_degree).sum(axis=1)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
 
 
 def segment_mean(
@@ -102,6 +123,7 @@ def segment_mean(
     mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
     row_splits: Optional[Array] = None,
+    dense_degree: Optional[int] = None,
 ) -> Array:
     """Masked mean with torch_scatter ``reduce="mean"`` semantics.
 
@@ -109,18 +131,21 @@ def segment_mean(
     (defaults to ``mask``).  Counts are clamped to >= 1 so empty segments
     yield 0 rather than NaN.  ``row_splits`` (sorted rows, pad-only count
     mask) routes the sum through the Pallas kernel and derives counts from
-    the splits.
+    the splits.  ``dense_degree`` routes sum and counts through the dense
+    fixed-degree reductions (see segment_sum).
     """
     if count_mask is None:
         count_mask = mask
     total = segment_sum(
-        data, segment_ids, num_segments, mask=mask, row_splits=row_splits
+        data, segment_ids, num_segments, mask=mask, row_splits=row_splits,
+        dense_degree=dense_degree,
     )
     # counts always via the masked scatter of ones: with the tile-aligned
     # sorted layout, split widths include alignment padding at node-tile
     # boundaries and cannot be used as counts
     count = segment_count(
-        segment_ids, num_segments, mask=count_mask, dtype=total.dtype
+        segment_ids, num_segments, mask=count_mask, dtype=total.dtype,
+        dense_degree=dense_degree,
     )
     count = jnp.maximum(count, 1.0)
     return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
