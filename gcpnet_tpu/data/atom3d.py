@@ -292,9 +292,21 @@ class ATOM3DDataModule:
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
             extra_graph_keys=("label", "target_id"),
-            # measured on v5e: plain scatter beats the sorted Pallas layout
-            # (see data/batching.py SORT_EDGES_DEFAULT)
+            # measured on v5e: dense fixed-degree layout (195 ms/step) >
+            # plain scatter (207) > sorted Pallas (386); the radius-graph
+            # featurizer caps in-degree at max_neighbors, guaranteeing the
+            # dense contract (see data/batching.py DENSE_EDGES_DEFAULT)
             sort_edges=batching.SORT_EDGES_DEFAULT,
+            # node-budget mode only: there the list layout pads edges to
+            # num_nodes*max_neighbors anyway, so dense costs nothing extra;
+            # in edge-budget mode (max_units > 0) the make_bucket node slack
+            # would inflate dense edge rows ~1.5x — keep the list layout
+            dense_degree=(
+                self.max_neighbors
+                if batching.DENSE_EDGES_DEFAULT
+                and not (self.max_units and self.max_units > 0)
+                else None
+            ),
         )
 
     def train_batches(self, seed: int = 0):

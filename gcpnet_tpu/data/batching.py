@@ -27,6 +27,15 @@ from gcpnet_tpu.graph import GraphBatch, GraphData, batch_graphs
 # unsorted; flip per-datamodule (sort_edges=True) or here to re-enable.
 SORT_EDGES_DEFAULT: bool = False
 
+# Production default for the DENSE fixed-degree (slot-major) receiver
+# layout — densify_edges_by_receiver.  Measured at LBA bench scale on one
+# v5e chip (round 3, bf16): 195.3 ms/step vs 207.5 for the edge-list +
+# XLA-scatter path (the receiver-side scatters run row-serially on TPU).
+# Datamodules whose featurizer guarantees a per-receiver degree cap
+# (atom3d radius graph, CATH kNN, NMS fully-connected) pass their cap as
+# dense_degree when this is True.
+DENSE_EDGES_DEFAULT: bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class Bucket:
@@ -180,15 +189,20 @@ def sort_edges_by_receiver(batch: GraphBatch, tile: int = 128) -> GraphBatch:
 
 
 def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
-    """Re-lay one shard's edges into the DENSE fixed-degree receiver format:
-    edge row ``n*degree + j`` holds receiver node ``n``'s j-th incoming edge
-    (real edges first, then padding slots with ``senders = receivers = n``
-    and zeroed features/mask).
+    """Re-lay one shard's edges into the DENSE fixed-degree receiver format,
+    SLOT-MAJOR: edge row ``k*num_nodes + n`` holds receiver node ``n``'s
+    k-th incoming edge (real edges in low slots, then padding slots with
+    ``senders = receivers = n`` and zeroed features/mask).
 
     On TPU this turns every receiver-side segment reduction into a
-    ``[N, K, C]`` axis-1 sum and every receiver-side gather into a
+    ``[K, N, C]`` axis-0 sum and every receiver-side gather into a
     broadcast — eliminating XLA scatters, which execute row-serially
     (measured ~2 ms for a 62 MB scatter on v5e, ~3.5% of HBM bandwidth).
+    Slot-major (not node-major) order matters: ``[K*N, C] -> [K, N, C]`` is
+    a pure bitcast under the TPU's (8, 128) minor-dim tiling, whereas the
+    node-major ``[N*K, C] -> [N, K, C]`` view re-tiles over (K, C) and
+    forces a full relayout copy around every reduction (measured: the
+    node-major form benched SLOWER than the scatter it replaced).
     The edge budget becomes exactly ``num_nodes * degree``.  Host-side
     numpy.  Raises if any node's real in-degree exceeds ``degree`` (pick
     the featurizer's neighbor cap, e.g. 32 for the ATOM3D radius graph).
@@ -212,7 +226,7 @@ def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
     r_sorted = r[order]
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     slot = np.arange(r_sorted.shape[0]) - starts[r_sorted]
-    dest = r_sorted * degree + slot
+    dest = slot * num_nodes + r_sorted  # slot-major (see docstring)
     src = real_idx[order]
 
     num_edges = num_nodes * degree
@@ -226,7 +240,7 @@ def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
         return out
 
     # padding slots: self-loop on the slot's own node (in-range, masked out)
-    slot_node = np.repeat(
+    slot_node = np.tile(
         np.arange(num_nodes, dtype=np.int32), degree
     )
     senders = place(batch.senders)

@@ -174,9 +174,17 @@ class CATHDataModule:
             num_shards=self.num_shards,
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
-            # measured on v5e: plain scatter beats the sorted Pallas layout
-            # (see data/batching.py SORT_EDGES_DEFAULT)
+            # measured on v5e: dense fixed-degree layout beats plain scatter
+            # beats sorted Pallas (see data/batching.py DENSE_EDGES_DEFAULT);
+            # the kNN featurizer caps in-degree at top_k
             sort_edges=batching.SORT_EDGES_DEFAULT,
+            # node-budget mode only (see data/atom3d.py rationale)
+            dense_degree=(
+                self.top_k
+                if batching.DENSE_EDGES_DEFAULT
+                and not (self.max_units and self.max_units > 0)
+                else None
+            ),
         )
 
     def named_graphs(self, split: str):

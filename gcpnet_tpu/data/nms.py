@@ -137,11 +137,14 @@ class NMSDataModule:
         )
         e_v = np.nan_to_num(normalize(vec)[:, :, None, :].astype(np.float32))
 
-        # group the fully-connected edge template by receiver: in-degree is
-        # exactly n-1 for every node, so batches carry the DENSE fixed-degree
-        # layout (edge_dense_degree = n-1) — receiver-side aggregations run
-        # as [N, K, C] axis-1 sums instead of XLA scatters on TPU
-        order = np.argsort(r, kind="stable")
+        # re-order the fully-connected edge template SLOT-MAJOR by receiver:
+        # template edge k*n + i is receiver i's k-th incoming edge (in-degree
+        # is exactly n-1 for every node), so batches carry the DENSE
+        # fixed-degree layout (edge_dense_degree = n-1) — receiver-side
+        # aggregations run as [K, N, C] axis-0 sums instead of XLA scatters
+        # on TPU (see data.batching.densify_edges_by_receiver)
+        order = np.argsort(r, kind="stable")  # receiver-major [n, n-1]
+        order = order.reshape(n, n - 1).T.reshape(-1)  # -> slot-major
         s, r = s[order], r[order]
         e_s = e_s[:, order]
         e_v = e_v[:, order]
@@ -166,27 +169,42 @@ class NMSDataModule:
         gps = B // self.num_shards  # graphs per shard
         local_graph = (np.arange(B, dtype=np.int32) % gps)
         offsets = (local_graph * n)[:, None]
-        senders = (s[None, :] + offsets).reshape(-1)
-        receivers = (r[None, :] + offsets).reshape(-1)
+        K = n - 1
+
+        def slot_major(arr_be):
+            """[B, e_per, ...] (template slot-major within each graph) ->
+            flat per-shard SLOT-MAJOR edge rows: shard s's edge row
+            k*N_shard + (g_local*n + i) is node (g_local*n + i)'s k-th
+            incoming edge — the GraphBatch dense-layout contract."""
+            a = arr_be.reshape(
+                (self.num_shards, gps, K, n) + arr_be.shape[2:]
+            )
+            a = np.swapaxes(a, 1, 2)  # [S, K, gps, n, ...]
+            return np.ascontiguousarray(a).reshape(
+                (B * e_per,) + arr_be.shape[2:]
+            )
+
+        senders = slot_major(s[None, :] + offsets)
+        receivers = slot_major(r[None, :] + offsets)
         graph_id = np.repeat(local_graph, n)
 
         N, E = B * n, B * e_per
         return GraphBatch(
             h=d["h"][idx].reshape(N, 1),
             chi=d["chi"][idx].reshape(N, 3, 3),
-            e=d["e"][idx].reshape(E, 1 + self.num_rbf),
-            xi=d["xi"][idx].reshape(E, 1, 3),
+            e=slot_major(d["e"][idx]).reshape(E, 1 + self.num_rbf),
+            xi=slot_major(d["xi"][idx]).reshape(E, 1, 3),
             x=d["x"][idx].reshape(N, 3),
-            senders=senders,
-            receivers=receivers,
+            senders=senders.astype(np.int32),
+            receivers=receivers.astype(np.int32),
             graph_id=graph_id,
             node_pad_mask=np.ones(N, bool),
             edge_pad_mask=np.ones(E, bool),
             graph_pad_mask=np.ones(B, bool),
             node_mask=None,
             extras={"label": d["label"][idx].reshape(N, 3)},
-            # the receiver-grouped fully-connected template is exactly dense
-            edge_dense_degree=n - 1,
+            # the slot-major fully-connected template is exactly dense
+            edge_dense_degree=K,
         )
 
     # --- iteration --------------------------------------------------------

@@ -309,10 +309,10 @@ class GCPInteractions(nn.Module):
             s_dim = self.node_dims[0]
             h_i = Dense(s_dim, name="phi_force_i")(h_v[senders])
             if dense_degree is not None:
-                # dense layout: the receiver gather is a broadcast
+                # slot-major dense layout: the receiver gather is a broadcast
                 h_vj = jnp.broadcast_to(
-                    h_v[:, None, :],
-                    (h_v.shape[0], dense_degree, h_v.shape[-1]),
+                    h_v[None, :, :],
+                    (dense_degree, h_v.shape[0], h_v.shape[-1]),
                 ).reshape(h_v.shape[0] * dense_degree, h_v.shape[-1])
             else:
                 h_vj = h_v[receivers]

@@ -319,11 +319,12 @@ class GCPMessagePassing(nn.Module):
         v_dim = node_rep.dims[1]
         src = ScalarVector.recover(flat_nodes[senders], v_dim)
         if dense_degree is not None:
-            # dense layout: receiver of edge n*K+j is node n — broadcast
-            # instead of gather (backward is an axis-1 sum, not a scatter)
+            # slot-major dense layout: receiver of edge k*N+n is node n —
+            # broadcast instead of gather (backward is an axis-0 sum, not a
+            # scatter); [K, N, C] -> [K*N, C] is a bitcast under TPU tiling
             dst_flat = jnp.broadcast_to(
-                flat_nodes[:, None, :],
-                (num_nodes, dense_degree, flat_nodes.shape[-1]),
+                flat_nodes[None, :, :],
+                (dense_degree, num_nodes, flat_nodes.shape[-1]),
             ).reshape(num_nodes * dense_degree, flat_nodes.shape[-1])
         else:
             dst_flat = flat_nodes[receivers]

@@ -66,18 +66,19 @@ def segment_sum(
       row_splits: optional ``[num_segments+1]`` ranges when rows are sorted
         by segment (padding rows last) — routes through the Pallas MXU
         kernel on TPU.
-      dense_degree: static K when rows follow the DENSE fixed-degree layout
-        (row ``n*K+j`` belongs to segment ``n`` — see
+      dense_degree: static K when rows follow the DENSE fixed-degree
+        SLOT-MAJOR layout (row ``k*N+n`` belongs to segment ``n`` — see
         data.batching.densify_edges_by_receiver): the reduction becomes a
-        plain ``[N, K, ...]`` axis-1 sum, avoiding the row-serial XLA
-        scatter.  Requires ``mask`` (padding slots must contribute zero).
+        plain ``[K, N, ...]`` axis-0 sum (a bitcast view under TPU tiling),
+        avoiding the row-serial XLA scatter.  Requires ``mask`` (padding
+        slots must contribute zero).
     """
     data = _apply_mask(data, mask)
     if dense_degree is not None:
         if data.shape[0] != num_segments * dense_degree:
             raise ValueError(
-                f"segment_sum: dense layout expects {num_segments} x "
-                f"{dense_degree} rows, got {data.shape[0]}"
+                f"segment_sum: dense layout expects {dense_degree} x "
+                f"{num_segments} rows, got {data.shape[0]}"
             )
         if mask is None:
             raise ValueError(
@@ -85,8 +86,8 @@ def segment_sum(
                 "padding slots"
             )
         return data.reshape(
-            (num_segments, dense_degree) + data.shape[1:]
-        ).sum(axis=1)
+            (dense_degree, num_segments) + data.shape[1:]
+        ).sum(axis=0)
     if row_splits is not None and data.ndim == 2 and _pallas_enabled():
         if mask is None:
             # The sorted layout has tile-alignment holes between node tiles;
@@ -112,7 +113,7 @@ def segment_count(
 ) -> Array:
     ones = _apply_mask(jnp.ones(segment_ids.shape, dtype=dtype), mask)
     if dense_degree is not None:
-        return ones.reshape(num_segments, dense_degree).sum(axis=1)
+        return ones.reshape(dense_degree, num_segments).sum(axis=0)
     return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
 
 

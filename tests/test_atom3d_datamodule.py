@@ -60,19 +60,29 @@ def test_atom3d_npz_pipeline(tmp_path, task):
     assert b.h.dtype in (np.int32, np.int64)  # atom-type indices
     assert b.e.shape[1] == 16  # RBF16
     assert b.chi.shape[1:] == (2, 3)
-    # production default is the unsorted layout (plain XLA scatter measured
-    # faster than the sorted Pallas path on v5e — data/batching.py
-    # SORT_EDGES_DEFAULT); the sorted layout stays available via the flag
+    # production default (node-budget mode) is the DENSE fixed-degree
+    # slot-major layout — measured fastest on v5e (data/batching.py
+    # DENSE_EDGES_DEFAULT); sorted Pallas stays available via the flag
     assert b.edge_row_splits is None
+    assert b.edge_dense_degree == dm.max_neighbors
+    N, K = b.num_nodes, b.edge_dense_degree
+    assert b.num_edges == N * K
+    assert (
+        np.asarray(b.receivers).reshape(K, N) == np.arange(N)[None, :]
+    ).all()
     from gcpnet_tpu.data import batching as batching_mod
 
-    old = batching_mod.SORT_EDGES_DEFAULT
+    old_sort = batching_mod.SORT_EDGES_DEFAULT
+    old_dense = batching_mod.DENSE_EDGES_DEFAULT
     batching_mod.SORT_EDGES_DEFAULT = True
+    batching_mod.DENSE_EDGES_DEFAULT = False
     try:
         b_sorted = next(iter(dm.test_batches()))
         assert b_sorted.edge_row_splits is not None
+        assert b_sorted.edge_dense_degree is None
     finally:
-        batching_mod.SORT_EDGES_DEFAULT = old
+        batching_mod.SORT_EDGES_DEFAULT = old_sort
+        batching_mod.DENSE_EDGES_DEFAULT = old_dense
     if task == "LBA":
         assert "lig_flag" in b.extras
     else:

@@ -66,8 +66,8 @@ def test_densify_layout_invariants():
     N = dense.num_nodes
     assert dense.num_edges == N * K
     recv = np.asarray(dense.receivers)
-    # receiver of slot (n, j) is n — for real AND padding slots
-    assert (recv.reshape(N, K) == np.arange(N)[:, None]).all()
+    # slot-major: receiver of edge row k*N + n is n — real AND padding slots
+    assert (recv.reshape(K, N) == np.arange(N)[None, :]).all()
     # same multiset of real edges
     m_p = np.asarray(plain.edge_pad_mask)
     m_d = np.asarray(dense.edge_pad_mask)
@@ -161,7 +161,8 @@ def test_dense_segment_ops_match_scatter():
     rng = np.random.default_rng(3)
     N, K, C = 10, 4, 7
     data = jnp.asarray(rng.normal(size=(N * K, C)).astype(np.float32))
-    ids = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
+    # slot-major: row k*N + n belongs to segment n
+    ids = jnp.tile(jnp.arange(N, dtype=jnp.int32), K)
     mask = jnp.asarray(rng.random(N * K) < 0.7)
 
     s_scatter = segment_sum(data, ids, N, mask=mask)
