@@ -46,6 +46,10 @@ VARIANT = os.environ.get("BENCH_VARIANT", "dense")
 # in-degree cap for the dense layout — matches the native radius-graph
 # builder's per-receiver cap (cpp/graph_kernels.cpp, max_neighbors=32)
 DENSE_DEGREE = 32
+# sender-dense slot budget (max out-degree) for the scatter-free backward
+# of sender gathers (ops/segment.py gather_by_senders); out-degree is
+# uncapped by the featurizer, so budget ~2x the in-degree cap
+DENSE_OUT_DEGREE = 64
 # Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
 # and the loss is fetched to the host (a hard sync even on remote-tunneled
 # backends where block_until_ready under-reports).  Differencing two loop
@@ -203,6 +207,7 @@ def _build(variant: str, num_encoder_layers: int = 8):
         bucket,
         extra_graph_keys=("label",),
         dense_degree=DENSE_DEGREE if variant == "dense" else None,
+        dense_out_degree=DENSE_OUT_DEGREE if variant == "dense" else None,
     )
     if variant in ("fused", "sorted"):
         batch = sort_edges_by_receiver(batch)

@@ -307,6 +307,16 @@ class ATOM3DDataModule:
                 and not (self.max_units and self.max_units > 0)
                 else None
             ),
+            # sender-dense slot budget for the scatter-free gather backward:
+            # the radius graph caps in-degree (max_neighbors) but not
+            # out-degree; 2x the cap is a generous bound (near-symmetric
+            # neighborhoods) — build_sender_perm raises if exceeded
+            dense_out_degree=(
+                2 * self.max_neighbors
+                if batching.DENSE_EDGES_DEFAULT
+                and not (self.max_units and self.max_units > 0)
+                else None
+            ),
         )
 
     def train_batches(self, seed: int = 0):

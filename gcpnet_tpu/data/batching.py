@@ -188,7 +188,41 @@ def sort_edges_by_receiver(batch: GraphBatch, tile: int = 128) -> GraphBatch:
     )
 
 
-def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
+def build_sender_perm(
+    senders: np.ndarray,
+    real_mask: np.ndarray,
+    num_nodes: int,
+    out_degree: int,
+) -> np.ndarray:
+    """SLOT-MAJOR sender-dense permutation over one shard's edge rows:
+    ``perm[k*N + n]`` = edge row of node ``n``'s k-th outgoing real edge,
+    ``-1`` for padding slots.  Lets sender-keyed gathers run with a
+    scatter-free backward (ops.segment.gather_by_senders) and sender-keyed
+    means run scatter-free forward (ops.segment.sender_mean).  Raises if any
+    node's real out-degree exceeds ``out_degree`` (radius/kNN featurizers
+    cap in-degree, not out-degree — budget slack above the cap, e.g. 2x).
+    """
+    idx = np.flatnonzero(np.asarray(real_mask))
+    s = np.asarray(senders)[idx]
+    order = np.argsort(s, kind="stable")
+    s_sorted = s[order]
+    counts = np.bincount(s_sorted, minlength=num_nodes)
+    max_out = int(counts.max()) if counts.size else 0
+    if max_out > out_degree:
+        raise ValueError(
+            f"build_sender_perm: max out-degree {max_out} exceeds the "
+            f"sender-dense budget {out_degree}"
+        )
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(s_sorted.shape[0]) - starts[s_sorted]
+    perm = np.full(num_nodes * out_degree, -1, np.int32)
+    perm[slot * num_nodes + s_sorted] = idx[order]
+    return perm
+
+
+def densify_edges_by_receiver(
+    batch: GraphBatch, degree: int, out_degree: Optional[int] = None
+) -> GraphBatch:
     """Re-lay one shard's edges into the DENSE fixed-degree receiver format,
     SLOT-MAJOR: edge row ``k*num_nodes + n`` holds receiver node ``n``'s
     k-th incoming edge (real edges in low slots, then padding slots with
@@ -262,6 +296,11 @@ def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
         )
         for k, v in batch.extras.items()
     }
+    sender_perm = None
+    if out_degree is not None:
+        sender_perm = build_sender_perm(
+            senders, edge_pad_mask, num_nodes, out_degree
+        )
     return batch.replace(
         e=place(batch.e),
         xi=place(batch.xi),
@@ -271,6 +310,8 @@ def densify_edges_by_receiver(batch: GraphBatch, degree: int) -> GraphBatch:
         edge_row_splits=None,
         extras=extras,
         edge_dense_degree=int(degree),
+        sender_perm=sender_perm,
+        sender_out_degree=int(out_degree) if out_degree is not None else None,
     )
 
 
@@ -281,6 +322,7 @@ def collate_shards(
     like: Optional[GraphData] = None,
     sort_edges: bool = False,
     dense_degree: Optional[int] = None,
+    dense_out_degree: Optional[int] = None,
 ) -> GraphBatch:
     """Build a device-shardable batch: one padded sub-batch per shard (with
     shard-local indices), concatenated along axis 0.
@@ -305,7 +347,10 @@ def collate_shards(
         for graphs in shard_graphs
     ]
     if dense_degree is not None:
-        shards = [densify_edges_by_receiver(s, dense_degree) for s in shards]
+        shards = [
+            densify_edges_by_receiver(s, dense_degree, dense_out_degree)
+            for s in shards
+        ]
     elif sort_edges:
         shards = [sort_edges_by_receiver(s) for s in shards]
     if len(shards) == 1:
@@ -333,6 +378,7 @@ def batches_from_dataset(
     extra_graph_keys: Sequence[str] = (),
     sort_edges: bool = False,
     dense_degree: Optional[int] = None,
+    dense_out_degree: Optional[int] = None,
 ) -> Iterator[GraphBatch]:
     """Pack a dataset of host graphs into device-sharded padded batches.
 
@@ -374,6 +420,7 @@ def batches_from_dataset(
                 yield collate_shards(
                     shards, bucket, extra_graph_keys, sort_edges=sort_edges,
                     dense_degree=dense_degree,
+                    dense_out_degree=dense_out_degree,
                 )
                 shards = []
         shard.append(g)
@@ -385,7 +432,9 @@ def batches_from_dataset(
         while len(shards) < num_shards:
             shards.append([])
         yield collate_shards(shards, bucket, extra_graph_keys,
-                              sort_edges=sort_edges, dense_degree=dense_degree)
+                              sort_edges=sort_edges, dense_degree=dense_degree,
+                              dense_out_degree=dense_out_degree)
     elif len(shards) == num_shards:
         yield collate_shards(shards, bucket, extra_graph_keys,
-                              sort_edges=sort_edges, dense_degree=dense_degree)
+                              sort_edges=sort_edges, dense_degree=dense_degree,
+                              dense_out_degree=dense_out_degree)

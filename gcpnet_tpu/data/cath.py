@@ -185,6 +185,13 @@ class CATHDataModule:
                 and not (self.max_units and self.max_units > 0)
                 else None
             ),
+            # kNN caps in-degree (top_k) but not out-degree; 2x is generous
+            dense_out_degree=(
+                2 * self.top_k
+                if batching.DENSE_EDGES_DEFAULT
+                and not (self.max_units and self.max_units > 0)
+                else None
+            ),
         )
 
     def named_graphs(self, split: str):

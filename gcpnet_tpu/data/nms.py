@@ -74,6 +74,7 @@ class NMSDataModule:
         if num_test:
             self.sizes["test"] = num_test
         self.splits = {}
+        self._sender_perm_cache = {}
 
     # --- data preparation -------------------------------------------------
     def _cache_path(self, split: str) -> str:
@@ -189,6 +190,24 @@ class NMSDataModule:
         graph_id = np.repeat(local_graph, n)
 
         N, E = B * n, B * e_per
+
+        # sender-dense perm (scatter-free gather backward): fully-connected
+        # graphs have out-degree exactly K; the shard-local layout is
+        # identical across shards, so build one shard's perm and tile it
+        key = (self.num_shards, gps, n)
+        perm = self._sender_perm_cache.get(key)
+        if perm is None:
+            from gcpnet_tpu.data.batching import build_sender_perm
+
+            n_shard_e = gps * e_per
+            shard_perm = build_sender_perm(
+                senders[:n_shard_e].astype(np.int32),
+                np.ones(n_shard_e, bool),
+                gps * n,
+                K,
+            )
+            perm = np.tile(shard_perm, self.num_shards)
+            self._sender_perm_cache[key] = perm
         return GraphBatch(
             h=d["h"][idx].reshape(N, 1),
             chi=d["chi"][idx].reshape(N, 3, 3),
@@ -205,6 +224,8 @@ class NMSDataModule:
             extras={"label": d["label"][idx].reshape(N, 3)},
             # the slot-major fully-connected template is exactly dense
             edge_dense_degree=K,
+            sender_perm=perm,
+            sender_out_degree=K,
         )
 
     # --- iteration --------------------------------------------------------

@@ -75,6 +75,16 @@ class GraphBatch(struct.PyTreeNode):
     edge_dense_degree: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # optional SLOT-MAJOR sender-dense permutation: [K_out * N] int32 where
+    # row k*N + n is the edge row of node n's k-th OUTGOING edge (-1 for
+    # padding slots).  Lets sender-keyed gathers run with a scatter-free
+    # backward and sender-keyed means run scatter-free forward
+    # (ops.segment.gather_by_senders / sender_mean).
+    sender_perm: Optional[Array] = None
+    # static slot count K_out of sender_perm (max out-degree budget)
+    sender_out_degree: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_nodes(self) -> int:

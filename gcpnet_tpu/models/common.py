@@ -199,9 +199,11 @@ class GCPNetEncoder(nn.Module):
         # concrete while every array argument is passed (and saved) explicitly.
         dense_degree = batch.edge_dense_degree  # static (non-pytree) marker
 
+        sender_degree = batch.sender_out_degree  # static (non-pytree)
+
         def run_layer(
             mdl, nrep, erep, senders, receivers, frms,
-            nmask, npos, emask, cmask, rsplits,
+            nmask, npos, emask, cmask, rsplits, sperm,
         ):
             return mdl(
                 nrep, erep, senders, receivers, frms,
@@ -209,6 +211,7 @@ class GCPNetEncoder(nn.Module):
                 count_mask=cmask, row_splits=rsplits,
                 deterministic=deterministic,
                 dense_degree=dense_degree,
+                sender_perm=sperm, sender_degree=sender_degree,
             )
 
         run = nn.remat(run_layer, prevent_cse=False) if self.remat else run_layer
@@ -251,6 +254,7 @@ class GCPNetEncoder(nn.Module):
                     edge_mask,
                     count_mask,
                     batch.edge_row_splits,
+                    batch.sender_perm,
                 )
                 if self.updating_node_positions:
                     node_rep, node_pos = out
@@ -324,6 +328,8 @@ class GCPNetEncoder(nn.Module):
                 count_mask=count_mask, row_splits=row_splits,
                 deterministic=deterministic,
                 dense_degree=batch.edge_dense_degree,
+                sender_perm=batch.sender_perm,
+                sender_degree=batch.sender_out_degree,
                 rngs={"dropout": key} if needs_rng else None,
             )
             if updating:

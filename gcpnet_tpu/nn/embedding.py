@@ -117,7 +117,9 @@ class GCPEmbedding(nn.Module):
             count_mask=count_mask,
         )
         nf = node_mean_frames(
-            frames, batch.senders, batch.h.shape[0], edge_mask, count_mask
+            frames, batch.senders, batch.h.shape[0], edge_mask, count_mask,
+            sender_perm=batch.sender_perm,
+            sender_degree=batch.sender_out_degree,
         )
         node_out = node_gcp(
             node_rep,

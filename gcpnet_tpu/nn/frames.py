@@ -115,6 +115,8 @@ def node_mean_frames(
     num_nodes: int,
     edge_mask: Optional[Array] = None,
     count_mask: Optional[Array] = None,
+    sender_perm: Optional[Array] = None,
+    sender_degree: Optional[int] = None,
 ) -> Array:
     """Per-node mean of outgoing-edge frames, ``[N, 9]``.
 
@@ -126,12 +128,19 @@ def node_mean_frames(
     reference's ``enable_e3_equivariance`` abs (nonlinear per edge), which
     keeps the per-edge path.
     """
-    return segment_mean(
+    # with the sender-dense perm (data.batching.build_sender_perm) the
+    # forward runs as a permutation gather + [K_out, N, 9] axis-0 sum
+    # instead of an XLA scatter (row-serial on TPU)
+    from gcpnet_tpu.ops.segment import sender_mean
+
+    return sender_mean(
         frames,
         senders,
         num_nodes,
         mask=edge_mask,
         count_mask=count_mask if count_mask is not None else edge_mask,
+        sender_perm=sender_perm,
+        out_degree=sender_degree,
     )
 
 

@@ -32,7 +32,12 @@ from gcpnet_tpu.nn.primitives import (
     get_nonlinearity,
     vec_at,
 )
-from gcpnet_tpu.ops.segment import segment_count, segment_mean, segment_sum
+from gcpnet_tpu.ops.segment import (
+    gather_by_senders,
+    segment_count,
+    segment_mean,
+    segment_sum,
+)
 
 Array = jax.Array
 
@@ -71,6 +76,8 @@ class GCPInteractions(nn.Module):
         row_splits: Optional[Array] = None,
         deterministic: bool = True,
         dense_degree: Optional[int] = None,
+        sender_perm: Optional[Array] = None,
+        sender_degree: Optional[int] = None,
     ):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
@@ -120,6 +127,7 @@ class GCPInteractions(nn.Module):
                 frame_mask=_and(frame_mask, forward_mask),
                 count_mask=count_mask, row_splits=row_splits,
                 dense_degree=dense_degree,
+                sender_perm=sender_perm, sender_degree=sender_degree,
             )
             bwd = interaction(
                 ScalarVector(*node_rep_regressive), edge_rep, senders, receivers,
@@ -128,6 +136,7 @@ class GCPInteractions(nn.Module):
                 frame_mask=_and(frame_mask, ~forward_mask),
                 count_mask=count_mask, row_splits=row_splits,
                 dense_degree=dense_degree,
+                sender_perm=sender_perm, sender_degree=sender_degree,
             )
             hidden_residual = fwd + bwd
             # normalize by total in-degree over all (real) edges
@@ -148,6 +157,7 @@ class GCPInteractions(nn.Module):
                 count_mask=count_mask,
                 row_splits=row_splits,
                 dense_degree=dense_degree,
+                sender_perm=sender_perm, sender_degree=sender_degree,
             )
 
         node_rep = node_rep + drop0(hidden_residual, deterministic)
@@ -212,7 +222,8 @@ class GCPInteractions(nn.Module):
         # one frames-mean per mask pair replaces a gather + scatter-mean in
         # every node-input GCP below (linearity of scalarize/vectorize)
         nf_ff = node_mean_frames(
-            frames, senders, num_nodes, ff_edge_mask, ff_count_mask
+            frames, senders, num_nodes, ff_edge_mask, ff_count_mask,
+            sender_perm=sender_perm, sender_degree=sender_degree,
         )
 
         hidden_residual = node_rep
@@ -251,13 +262,15 @@ class GCPInteractions(nn.Module):
             # pos head keeps the all-real-edges denominator while the FF
             # uses the subgraph denominator
             nf_pos = node_mean_frames(
-                frames, senders, num_nodes, frame_mask, count_mask
+                frames, senders, num_nodes, frame_mask, count_mask,
+                sender_perm=sender_perm, sender_degree=sender_degree,
             )
         x_update = self._derive_x_update(
             node_rep, senders, receivers, frames,
             edge_mask=frame_mask, count_mask=count_mask,
             force_mask=agg_mask, node_frames=nf_pos,
             dense_degree=dense_degree,
+            sender_perm=sender_perm, sender_degree=sender_degree,
         )
         node_pos = node_pos + x_update
         return node_rep, node_pos
@@ -273,6 +286,8 @@ class GCPInteractions(nn.Module):
         force_mask: Optional[Array] = None,
         node_frames: Optional[Array] = None,
         dense_degree: Optional[int] = None,
+        sender_perm: Optional[Array] = None,
+        sender_degree: Optional[int] = None,
     ) -> Array:
         """Equivariant position update head (gcpnet.py:1118-1158).
 
@@ -307,7 +322,9 @@ class GCPInteractions(nn.Module):
                 st_cfg.scalar_nonlinearity, self.layer_cfg.nonlinearity_slope
             )
             s_dim = self.node_dims[0]
-            h_i = Dense(s_dim, name="phi_force_i")(h_v[senders])
+            h_i = Dense(s_dim, name="phi_force_i")(
+                gather_by_senders(h_v, senders, sender_perm, sender_degree)
+            )
             if dense_degree is not None:
                 # slot-major dense layout: the receiver gather is a broadcast
                 h_vj = jnp.broadcast_to(
@@ -368,6 +385,8 @@ class GCPInteractions2(nn.Module):
         row_splits: Optional[Array] = None,
         deterministic: bool = True,
         dense_degree: Optional[int] = None,
+        sender_perm: Optional[Array] = None,
+        sender_degree: Optional[int] = None,
     ):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
@@ -404,6 +423,7 @@ class GCPInteractions2(nn.Module):
             edge_mask=agg_mask, frame_mask=frame_mask,
             count_mask=count_mask, row_splits=row_splits,
             dense_degree=dense_degree,
+            sender_perm=sender_perm, sender_degree=sender_degree,
         )
         # concat aggregated messages with the current node rep
         # (gcpnet.py:1414-1415)
@@ -452,7 +472,8 @@ class GCPInteractions2(nn.Module):
         # all-real-edge denominators (gcpnet.py:1408-1419)
         num_nodes2 = node_rep.scalar.shape[0]
         nf = node_mean_frames(
-            frames, senders, num_nodes2, frame_mask, count_mask
+            frames, senders, num_nodes2, frame_mask, count_mask,
+            sender_perm=sender_perm, sender_degree=sender_degree,
         )
         for module in ff_stack:
             hidden_residual = module(

@@ -20,7 +20,7 @@ from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.primitives import ScalarVector
 from gcpnet_tpu.ops.pallas_fused import fused_enabled
-from gcpnet_tpu.ops.segment import segment_mean, segment_sum
+from gcpnet_tpu.ops.segment import gather_by_senders, segment_mean, segment_sum
 
 Array = jax.Array
 
@@ -295,6 +295,8 @@ class GCPMessagePassing(nn.Module):
         row_splits: Optional[Array] = None,
         frame_mask: Optional[Array] = None,
         dense_degree: Optional[int] = None,
+        sender_perm: Optional[Array] = None,
+        sender_degree: Optional[int] = None,
     ) -> ScalarVector:
         """``edge_mask`` gates the final message aggregation (padding-level);
         ``frame_mask`` (defaults to ``edge_mask``) gates the scalarize/
@@ -317,7 +319,12 @@ class GCPMessagePassing(nn.Module):
         # profile shows these gathers/scatter-adds among the top ops
         flat_nodes = node_rep.flatten()
         v_dim = node_rep.dims[1]
-        src = ScalarVector.recover(flat_nodes[senders], v_dim)
+        # with the sender-dense perm the gather's backward is a permutation
+        # gather + axis-0 sum instead of a row-serial XLA scatter-add
+        src = ScalarVector.recover(
+            gather_by_senders(flat_nodes, senders, sender_perm, sender_degree),
+            v_dim,
+        )
         if dense_degree is not None:
             # slot-major dense layout: receiver of edge k*N+n is node n —
             # broadcast instead of gather (backward is an axis-0 sum, not a

@@ -16,6 +16,7 @@ carry explicit masks.  Semantics are matched to ``torch_scatter.scatter``:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -148,6 +149,106 @@ def segment_mean(
         segment_ids, num_segments, mask=count_mask, dtype=total.dtype,
         dense_degree=dense_degree,
     )
+    count = jnp.maximum(count, 1.0)
+    return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_by_senders_perm(
+    nodes: Array, senders: Array, sender_perm: Array, out_degree: int
+) -> Array:
+    return nodes[senders]
+
+
+def _gbs_fwd(nodes, senders, sender_perm, out_degree):
+    return nodes[senders], (sender_perm, nodes.shape[0])
+
+
+def _gbs_bwd(out_degree, res, g):
+    sender_perm, num_nodes = res
+    # every real edge row appears in exactly one perm slot, so summing the
+    # per-slot cotangents over the slot axis IS the scatter-add the plain
+    # gather's VJP would emit — but as a gather + [K, N, C] axis-0 sum
+    # (XLA scatters execute row-serially on TPU; see gather_by_senders)
+    mask = (sender_perm >= 0).astype(g.dtype)[:, None]
+    rows = g[jnp.maximum(sender_perm, 0)] * mask
+    g_nodes = rows.reshape((out_degree, num_nodes) + g.shape[1:]).sum(axis=0)
+    return g_nodes, None, None
+
+
+_gather_by_senders_perm.defvjp(_gbs_fwd, _gbs_bwd)
+
+
+def gather_by_senders(
+    nodes: Array,
+    senders: Array,
+    sender_perm: Optional[Array] = None,
+    out_degree: Optional[int] = None,
+) -> Array:
+    """``nodes[senders]`` with a scatter-free backward pass.
+
+    The plain gather's VJP is an XLA scatter-add of ``[E, C]`` edge
+    cotangents into ``[N, C]`` nodes — row-serial on TPU (profiled at
+    ~2.4 ms per call at LBA bench scale, x8 layers).  When the batch
+    carries the SLOT-MAJOR sender-dense permutation (``sender_perm[k*N+n]``
+    = edge row of node ``n``'s k-th outgoing edge, ``-1`` for padding —
+    data.batching.densify_edges_by_receiver), the backward becomes a
+    permutation gather + ``[K_out, N, C]`` axis-0 sum: both parallel ops.
+    Falls back to the plain gather (scatter backward) without the perm.
+
+    CONTRACT: the perm covers only REAL edges, so cotangents arriving at
+    padding edge rows are dropped.  This is exact whenever every consumer
+    of the gathered rows is gated by the edge padding mask before any
+    reduction (true for the message stack, whose only output consumer is
+    the masked segment aggregation, and for the force head's masked
+    segment mean) — padding-row cotangents are then identically zero.
+    """
+    if sender_perm is None or out_degree is None:
+        return nodes[senders]
+    return _gather_by_senders_perm(
+        nodes, senders, jnp.asarray(sender_perm), out_degree
+    )
+
+
+def sender_mean(
+    data: Array,
+    senders: Array,
+    num_nodes: int,
+    mask: Optional[Array] = None,
+    count_mask: Optional[Array] = None,
+    sender_perm: Optional[Array] = None,
+    out_degree: Optional[int] = None,
+) -> Array:
+    """Per-node masked mean of outgoing-edge rows (segment_mean keyed by
+    ``senders``), scatter-free when the sender-dense perm is available:
+    the numerator becomes a permutation gather + ``[K_out, N, C]`` axis-0
+    sum.  Same ``mask``/``count_mask`` semantics as segment_mean.  Summation
+    order differs from the scatter path only by float associativity.
+    """
+    if sender_perm is None or out_degree is None:
+        return segment_mean(
+            data, senders, num_nodes,
+            mask=mask, count_mask=count_mask,
+        )
+    sender_perm = jnp.asarray(sender_perm)
+    idx = jnp.maximum(sender_perm, 0)
+    valid = sender_perm >= 0
+    num_mask = (
+        valid
+        if mask is None
+        else (valid & jnp.asarray(mask)[idx].astype(bool))
+    )
+    data = jnp.asarray(data)
+    rows = data[idx] * num_mask.astype(data.dtype)[:, None]
+    total = rows.reshape((out_degree, num_nodes) + data.shape[1:]).sum(axis=0)
+    if count_mask is None:
+        count_mask = mask
+    cm = (
+        valid
+        if count_mask is None
+        else (valid & jnp.asarray(count_mask)[idx].astype(bool))
+    )
+    count = cm.astype(total.dtype).reshape(out_degree, num_nodes).sum(axis=0)
     count = jnp.maximum(count, 1.0)
     return total / count.reshape(count.shape + (1,) * (total.ndim - 1))
 

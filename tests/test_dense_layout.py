@@ -55,7 +55,7 @@ def _batches(rng, num_graphs=2, n=20, deg_max=6):
         num_graphs=num_graphs,
     )
     plain = collate_shards([graphs], bucket, extra_graph_keys=("label",))
-    dense = densify_edges_by_receiver(plain, deg_max + 2)
+    dense = densify_edges_by_receiver(plain, deg_max + 2, out_degree=4 * deg_max)
     return plain, dense
 
 
@@ -177,3 +177,67 @@ def test_dense_segment_ops_match_scatter():
         segment_sum(data, ids, N, dense_degree=K)
     with pytest.raises(ValueError, match="rows"):
         segment_sum(data[:-1], ids[:-1], N, mask=mask[:-1], dense_degree=K)
+
+
+def test_sender_perm_invariants_and_grad_parity():
+    """build_sender_perm covers every real edge exactly once with the right
+    sender per slot; gather_by_senders' perm backward matches the plain
+    gather's scatter backward bitwise (for pad-masked cotangents, which is
+    what the model produces — see the CONTRACT in ops/segment.py)."""
+    from gcpnet_tpu.ops.segment import gather_by_senders
+
+    rng = np.random.default_rng(7)
+    plain, dense = _batches(rng)
+    perm = np.asarray(dense.sender_perm)
+    K_out = dense.sender_out_degree
+    N = dense.num_nodes
+    assert perm.shape == (K_out * N,)
+    snd = np.asarray(dense.senders)
+    real = np.flatnonzero(np.asarray(dense.edge_pad_mask))
+    assert sorted(perm[perm >= 0].tolist()) == sorted(real.tolist())
+    slots = np.flatnonzero(perm >= 0)
+    assert (snd[perm[slots]] == slots % N).all()
+
+    C = 5
+    nodes = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(dense.num_edges, C)).astype(np.float32)
+    ) * jnp.asarray(np.asarray(dense.edge_pad_mask))[:, None]
+    sndj = jnp.asarray(snd)
+    permj = jnp.asarray(perm)
+
+    g_perm = jax.grad(
+        lambda nd: (gather_by_senders(nd, sndj, permj, K_out) * w).sum()
+    )(nodes)
+    g_plain = jax.grad(lambda nd: (nd[sndj] * w).sum())(nodes)
+    np.testing.assert_array_equal(np.asarray(g_perm), np.asarray(g_plain))
+
+    # overflow guard: a budget below the max out-degree raises
+    from gcpnet_tpu.data.batching import build_sender_perm
+
+    counts = np.bincount(snd[real], minlength=N)
+    with pytest.raises(ValueError, match="out-degree"):
+        build_sender_perm(
+            snd, np.asarray(dense.edge_pad_mask), N, int(counts.max()) - 1
+        )
+
+
+def test_sender_mean_matches_segment_mean():
+    from gcpnet_tpu.ops.segment import segment_mean, sender_mean
+
+    rng = np.random.default_rng(8)
+    plain, dense = _batches(rng)
+    N, E = dense.num_nodes, dense.num_edges
+    data = jnp.asarray(rng.normal(size=(E, 9)).astype(np.float32))
+    pad = jnp.asarray(np.asarray(dense.edge_pad_mask))
+    em = pad & jnp.asarray(rng.random(E) < 0.8)
+    sndj = jnp.asarray(np.asarray(dense.senders))
+    m_perm = sender_mean(
+        data, sndj, N, mask=em, count_mask=pad,
+        sender_perm=jnp.asarray(np.asarray(dense.sender_perm)),
+        out_degree=dense.sender_out_degree,
+    )
+    m_scatter = segment_mean(data, sndj, N, mask=em, count_mask=pad)
+    np.testing.assert_allclose(
+        np.asarray(m_perm), np.asarray(m_scatter), atol=1e-5
+    )
