@@ -17,12 +17,42 @@ carry explicit masks.  Semantics are matched to ``torch_scatter.scatter``:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# How the [K, N, F] slot-axis reduction of the DENSE fixed-degree layout is
+# emitted (GCPNET_DENSE_REDUCE):
+#   "reshape" — data.reshape(K, N, F).sum(0); XLA retiles [K*N, F] into
+#               [F/8, 8, K, N] form (profiled transpose copies ~9 ms/step
+#               at LBA bench scale).
+#   "matmul"  — ones[1, K] @ data.view(K, N*F): both reshapes are bitcasts
+#               of the slot-major layout, the reduce rides the MXU.
+#   "slices"  — an unrolled sum of K contiguous [N, F] row blocks.
+DENSE_REDUCE_MODE = os.environ.get("GCPNET_DENSE_REDUCE", "reshape")
+
+
+def _dense_slot_reduce(data: Array, degree: int, num_rows: int) -> Array:
+    """Sum ``[degree*num_rows, ...]`` slot-major rows over the slot axis."""
+    feat = data.shape[1:]
+    if DENSE_REDUCE_MODE == "matmul" and data.ndim == 2:
+        flat = data.reshape(degree, num_rows * feat[0])
+        ones = jnp.ones((1, degree), dtype=data.dtype)
+        out = jax.lax.dot_general(
+            ones, flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape((num_rows,) + feat).astype(data.dtype)
+    if DENSE_REDUCE_MODE == "slices":
+        total = data[:num_rows]
+        for k in range(1, degree):
+            total = total + data[k * num_rows : (k + 1) * num_rows]
+        return total
+    return data.reshape((degree, num_rows) + feat).sum(axis=0)
 
 
 def _apply_mask(data: Array, mask: Optional[Array]) -> Array:
@@ -86,9 +116,7 @@ def segment_sum(
                 "segment_sum: dense_degree requires a mask zeroing the "
                 "padding slots"
             )
-        return data.reshape(
-            (dense_degree, num_segments) + data.shape[1:]
-        ).sum(axis=0)
+        return _dense_slot_reduce(data, dense_degree, num_segments)
     if row_splits is not None and data.ndim == 2 and _pallas_enabled():
         if mask is None:
             # The sorted layout has tile-alignment holes between node tiles;
@@ -172,7 +200,7 @@ def _gbs_bwd(out_degree, res, g):
     # (XLA scatters execute row-serially on TPU; see gather_by_senders)
     mask = (sender_perm >= 0).astype(g.dtype)[:, None]
     rows = g[jnp.maximum(sender_perm, 0)] * mask
-    g_nodes = rows.reshape((out_degree, num_nodes) + g.shape[1:]).sum(axis=0)
+    g_nodes = _dense_slot_reduce(rows, out_degree, num_nodes)
     return g_nodes, None, None
 
 

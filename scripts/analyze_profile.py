@@ -127,6 +127,7 @@ def _parse_line(buf):
 # ---------------------------------------------------------------------------
 
 CATEGORY_RULES = [
+    ("async-dma", re.compile(r"-start(\.\d+)?\s", re.I)),
     ("matmul", re.compile(r"dot|conv|matmul", re.I)),
     ("scatter", re.compile(r"scatter|segment", re.I)),
     ("gather", re.compile(r"gather|dynamic-slice|take", re.I)),
@@ -138,10 +139,17 @@ CATEGORY_RULES = [
     ("fusion", re.compile(r"fusion", re.I)),
 ]
 
+# "%maximum_add_fusion.3 = bf16[...] fusion(bf16[...] %copy.474, ...)":
+# categorize by the *instruction name and opcode*, never the operand text —
+# otherwise every fusion fed by a %copy lands in copy/transpose.
+_NAME_RX = re.compile(r"^%?([\w.\-]+)\s*=\s*\S+\s+([\w\-]+)\(")
+
 
 def categorize(name):
+    m = _NAME_RX.match(name)
+    head = f"{m.group(1)} {m.group(2)}" if m else name
     for cat, rx in CATEGORY_RULES:
-        if rx.search(name):
+        if rx.search(head):
             return cat
     return "other"
 

@@ -179,6 +179,22 @@ def test_dense_segment_ops_match_scatter():
         segment_sum(data[:-1], ids[:-1], N, mask=mask[:-1], dense_degree=K)
 
 
+@pytest.mark.parametrize("mode", ["reshape", "matmul", "slices"])
+def test_dense_reduce_modes_agree(mode, monkeypatch):
+    """All GCPNET_DENSE_REDUCE emission strategies compute the same sum."""
+    import gcpnet_tpu.ops.segment as seg
+
+    monkeypatch.setattr(seg, "DENSE_REDUCE_MODE", mode)
+    rng = np.random.default_rng(4)
+    N, K, C = 9, 5, 6
+    data = jnp.asarray(rng.normal(size=(N * K, C)).astype(np.float32))
+    ids = jnp.tile(jnp.arange(N, dtype=jnp.int32), K)
+    mask = jnp.asarray(rng.random(N * K) < 0.7)
+    out = seg.segment_sum(data, ids, N, mask=mask, dense_degree=K)
+    ref = seg.segment_sum(data, ids, N, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_sender_perm_invariants_and_grad_parity():
     """build_sender_perm covers every real edge exactly once with the right
     sender per slot; gather_by_senders' perm backward matches the plain
