@@ -11,6 +11,7 @@ import contextlib
 import functools
 import os
 import signal
+import threading
 import time
 import warnings
 from typing import Any, Callable, Dict, Optional
@@ -94,7 +95,15 @@ class TimeoutException(Exception):
 @contextlib.contextmanager
 def time_limit(seconds: int):
     """Signal-alarm timeout guard for hanging host-side work such as PDB
-    parsing (reference utils.py:219-233)."""
+    parsing (reference utils.py:219-233).
+
+    SIGALRM can only be armed from the main thread; when called from a
+    worker (e.g. the Trainer's host->device prefetch thread) this degrades
+    to a no-op guard instead of raising ``ValueError: signal only works in
+    main thread`` — which would wrongly drop every example."""
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
 
     def handler(signum, frame):
         raise TimeoutException("timed out")
