@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--out", default="/tmp/ar_example_run")
     ap.add_argument("--accelerator", default="tpu")
     ap.add_argument("--precision", type=int, default=32)
+    ap.add_argument(
+        "--score-only", action="store_true",
+        help="skip training; restore the best checkpoint from a previous "
+        "run under --out and run the refinement + scoring stage",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -61,19 +66,49 @@ def main():
         "logger=wandb.yaml",
     ]
     cfg = compose(os.path.join(ROOT, "configs"), "train.yaml", overrides)
-    metrics, trainer = train_cli.train(cfg)
-    print("train/test metrics:", {k: round(float(v), 5) for k, v in metrics.items()})
+    if args.score_only:
+        # rebuild the trainer and restore the best checkpoint of a prior run
+        from train import _make_mesh_from_cfg, build_trainer
+        from gcpnet_tpu.data.registry import build_datamodule
+        from gcpnet_tpu.tasks import build_loss, build_model
+        from gcpnet_tpu.train.checkpoints import CheckpointManager
+
+        mesh = _make_mesh_from_cfg(cfg.get("trainer") or {})
+        datamodule = build_datamodule(cfg["datamodule"], num_shards=1, seed=42)
+        datamodule.prepare_data()
+        datamodule.setup()
+        model, model_name = build_model(cfg["model"])
+        trainer = build_trainer(
+            cfg, model, build_loss(model_name), model_name, mesh
+        )
+        example = next(iter(datamodule.val_batches()))
+        trainer.init_state(trainer._put(example))
+        mgr = CheckpointManager(
+            os.path.join(args.out, "run", "checkpoints"), monitor="val/loss"
+        )
+        restored = mgr.restore_best(trainer.state) or mgr.restore_last(
+            trainer.state
+        )
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {args.out}/run")
+        trainer.state = restored
+        metrics = {}
+    else:
+        metrics, trainer = train_cli.train(cfg)
+        print(
+            "train/test metrics:",
+            {k: round(float(v), 5) for k, v in metrics.items()},
+        )
+        from gcpnet_tpu.data.registry import build_datamodule
+
+        datamodule = build_datamodule(cfg["datamodule"], num_shards=1, seed=42)
+        datamodule.prepare_data()
+        datamodule.setup()
 
     # ------------------------------------------------------------------
     # refine the decoy with the best checkpoint and score it
     # ------------------------------------------------------------------
-    import jax
-    from gcpnet_tpu.data.registry import build_datamodule
-
-    datamodule = build_datamodule(cfg["datamodule"], num_shards=1, seed=42)
-    datamodule.prepare_data()
-    datamodule.setup()
-    test_batches = list(datamodule.test_dataloader())
+    test_batches = list(datamodule.test_batches())
     assert test_batches, "no AR test batches"
     batch = test_batches[0]
 
