@@ -158,9 +158,13 @@ def _build(variant: str, num_encoder_layers: int = 8):
     from gcpnet_tpu.parallel import make_mesh
     from gcpnet_tpu.train import Trainer
 
-    mp.USE_FAST_STACK = variant in ("plain", "sorted", "fused")
+    import gcpnet_tpu.nn.gcp as gcp_mod
+
+    mp.USE_FAST_STACK = variant in ("plain", "sorted", "fused", "densefast")
     pallas_fused.USE_FUSED_MESSAGE = variant == "fused"
     segment_ops.USE_PALLAS_SEGMENT = variant in ("fused", "sorted")
+    # "densegcp": dense layout + the fused low-pass-count GCP2 edge path
+    gcp_mod.USE_FUSED_GCP = variant == "densegcp"
 
     rng = np.random.default_rng(0)
 
@@ -206,8 +210,14 @@ def _build(variant: str, num_encoder_layers: int = 8):
         [[random_graph() for _ in range(GRAPHS_PER_BATCH)]],
         bucket,
         extra_graph_keys=("label",),
-        dense_degree=DENSE_DEGREE if variant == "dense" else None,
-        dense_out_degree=DENSE_OUT_DEGREE if variant == "dense" else None,
+        dense_degree=(
+            DENSE_DEGREE if variant in ("dense", "densefast", "densegcp") else None
+        ),
+        dense_out_degree=(
+            DENSE_OUT_DEGREE
+            if variant in ("dense", "densefast", "densegcp")
+            else None
+        ),
     )
     if variant in ("fused", "sorted"):
         batch = sort_edges_by_receiver(batch)

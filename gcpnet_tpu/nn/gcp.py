@@ -13,10 +13,13 @@ Masking: callers pass ``edge_mask`` (numerator) and ``count_mask``
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gcpnet_tpu.config.schema import ModuleCfg
@@ -31,6 +34,22 @@ from gcpnet_tpu.nn.primitives import (
 )
 
 Array = jax.Array
+
+# Fused low-pass-count GCP2 edge path (see GCP2._fused_edge_call): same
+# params, same math, ~4 MXU passes per layer instead of ~11 small matmuls
+# plus per-column scalarize extracts.  None = auto; env override
+# GCPNET_FUSED_GCP=0/1.
+USE_FUSED_GCP: Optional[bool] = None
+_FUSED_GCP_AUTO = False  # flipped by benchmark evidence (see RESULTS.md)
+
+
+def fused_gcp_enabled() -> bool:
+    if USE_FUSED_GCP is not None:
+        return USE_FUSED_GCP
+    val = os.environ.get("GCPNET_FUSED_GCP", "")
+    if val:
+        return val not in ("0", "false", "False")
+    return _FUSED_GCP_AUTO
 
 # torch nn.Linear-style init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
 # kernel and bias, to match the reference's training dynamics.
@@ -104,6 +123,103 @@ class VecDense(nn.Module):
         return jnp.concatenate(
             [_mm(x, kernel), _mm(y, kernel), _mm(z, kernel)], axis=-1
         )
+
+
+class DenseParams(nn.Module):
+    """Parameter-only twin of :class:`Dense`: declares the SAME param tree
+    (``<name>/kernel`` [+ ``bias``], same init) but returns the raw arrays so
+    callers can fold several layers' weights into one matmul (the fused GCP2
+    edge path).  Checkpoints are interchangeable with :class:`Dense`."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_kernel_init, (self.in_features, self.features)
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", make_torch_bias_init(self.in_features), (self.features,)
+            )
+        return kernel, bias
+
+
+class VecDenseParams(nn.Module):
+    """Parameter-only twin of :class:`VecDense` (same tree/init)."""
+
+    in_features: int
+    features: int
+    init_gain: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        def init(key, shape, dtype=jnp.float32):
+            bound = self.init_gain / jnp.sqrt(shape[0])
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return self.param("kernel", init, (self.in_features, self.features))
+
+
+def blockdiag3(w: Array) -> Array:
+    """[c, m] -> [3c, 3m] block-diagonal: one matmul applies a shared
+    channel-mixing kernel to all three packed xyz lane blocks at once.  The
+    zero blocks ride along in the same MXU pass (K,N <= 128), so the pass
+    count drops 3x at no wall-clock cost per pass."""
+    c, m = w.shape
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([w, z, z], axis=1),
+            jnp.concatenate([z, w, z], axis=1),
+            jnp.concatenate([z, z, w], axis=1),
+        ],
+        axis=0,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _scal_selectors(sv_dim: int):
+    """Constant selectors for the matmul-form scalarize over packed
+    ``[*, 3*sv]`` vectors and packed ``[E, 9]`` frames.
+
+    - S2 [9, 27sv/3...]: ``frp = (frames*mask) @ S2`` replicates frame
+      columns so ``prod[:, c*9 + f*3 + a] = vdf_a[:, c] * fr[:, 3f+a]`` is
+      one elementwise multiply.
+    - (c_sel, x_sel): expand a ``[v_in, sv]`` down-frames kernel into the
+      ``[3*v_in, 9*sv]`` product grid (see :func:`w_p1_from_df`).
+    - S3 [9sv, 3sv]: sums the ``a`` axis, yielding the reference's
+      channel-major ``(c0·f0, c0·f1, c0·f2, c1·f0, ...)`` scalarize output
+      (components/__init__.py:272-325).
+    """
+    n = sv_dim
+    s2 = np.zeros((9, 9 * n), np.float32)
+    c_sel = np.zeros((n, 9 * n), np.float32)
+    x_sel = np.zeros((3, 9 * n), np.float32)
+    s3 = np.zeros((9 * n, 3 * n), np.float32)
+    for c in range(n):
+        for f in range(3):
+            for a in range(3):
+                col = c * 9 + f * 3 + a
+                s2[3 * f + a, col] = 1.0
+                c_sel[c, col] = 1.0
+                x_sel[a, col] = 1.0
+                s3[col, c * 3 + f] = 1.0
+    return s2, c_sel, x_sel, s3
+
+
+def w_p1_from_df(w_df: Array, sv_dim: int) -> Array:
+    """Expand ``vector_down_frames``'s [v_in, sv] kernel into the [3*v_in,
+    9*sv] product grid so ``p1 = v_packed @ w_p1`` carries every
+    (channel, frame, axis) product operand in one matmul."""
+    _, c_sel, x_sel, _ = _scal_selectors(sv_dim)
+    wc = w_df @ jnp.asarray(c_sel)  # [v_in, 9sv]
+    return (jnp.asarray(x_sel)[:, None, :] * wc[None, :, :]).reshape(
+        3 * w_df.shape[0], 9 * sv_dim
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +327,20 @@ class GCP2(nn.Module):
         act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
         num_entities = None
 
+        if (
+            not node_inputs
+            and v_in > 0
+            and v_out > 0
+            and fused_gcp_enabled()
+            and not (st.feedforward_out and self._supports_feedforward_out)
+            and not st.frame_gate
+            and not st.enable_e3_equivariance
+            and not st.ablate_frame_updates
+            and not st.ablate_scalars
+            and not st.ablate_vectors
+        ):
+            return self._fused_edge_call(s_maybe_v, frames, edge_mask)
+
         if v_in:
             scalar_rep, vector_rep = s_maybe_v
             if st.ablate_scalars:
@@ -294,6 +424,87 @@ class GCP2(nn.Module):
         if st.ablate_vectors:
             new_vector = jnp.zeros_like(new_vector)
         return ScalarVector(scalar_rep, new_vector)
+
+    def _fused_edge_call(self, s_maybe_v, frames, edge_mask):
+        """Low-pass-count re-association of the edge-mode (``node_inputs=
+        False``) GCP2 forward — IDENTICAL math and parameter tree, ~4 wide
+        MXU passes instead of ~11 small matmuls plus per-column scalarize
+        extracts (which the TPU profile shows as copy/relayout-bound):
+
+        - ``vector_down`` + ``vector_down_frames`` become ONE matmul with a
+          block-diagonal + product-grid kernel built at apply time;
+        - scalarize's 9*sv per-column products become ``p1 * ((frames*mask)
+          @ S2)`` with the axis-sum selector S3 folded into ``scalar_out``;
+        - when the vector nonlinearity is the identity (every production
+          config), the ``vector_out_scale`` gate Dense is folded into the
+          ``scalar_out`` matmul (its input IS ``s_new``).
+
+        Zero blocks in the block-diagonal kernels ride along in the same
+        MXU pass (K,N <= 128), so compiler-reported FLOPs rise while wall
+        time falls — per-step wall time is the metric that counts.
+        """
+        st = self.settings
+        s_in, v_in = self.input_dims
+        s_out, v_out = self.output_dims
+        act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
+        act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
+        scalar_rep, vector_rep = s_maybe_v
+        dt = scalar_rep.dtype
+        hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+        sv = st.sv_dim
+
+        w_down = VecDenseParams(v_in, hidden, name="vector_down")()
+        w_df = VecDenseParams(v_in, sv, name="vector_down_frames")()
+        w_so, b_so = DenseParams(
+            s_in + hidden + 3 * sv, s_out, name="scalar_out"
+        )()
+        w_up = VecDenseParams(hidden, v_out, name="vector_up")()
+
+        s2, _, _, s3 = _scal_selectors(sv)
+        down_k = jnp.concatenate(
+            [blockdiag3(w_down), w_p1_from_df(w_df, sv)], axis=1
+        )
+        down = _mm(vector_rep, down_k.astype(dt))
+        vh, p1 = down[:, : 3 * hidden], down[:, 3 * hidden :]
+        vnorm = safe_vec_norm(vh)
+
+        fr = frames
+        if edge_mask is not None:
+            fr = fr * edge_mask[:, None].astype(fr.dtype)
+        frp = _mm(fr.astype(dt), jnp.asarray(s2).astype(dt))
+        prod = p1 * frp
+
+        w_so_mm = jnp.concatenate(
+            [w_so[: s_in + hidden], jnp.asarray(s3) @ w_so[s_in + hidden :]],
+            axis=0,
+        )
+        merged = jnp.concatenate([scalar_rep, vnorm, prod], axis=-1)
+
+        fold_gate = st.vector_gate and is_identity(st.vector_nonlinearity)
+        gate = None
+        if fold_gate:
+            w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
+            big_k = jnp.concatenate([w_so_mm, w_so_mm @ w_g], axis=1)
+            big_b = jnp.concatenate([b_so, b_so @ w_g + b_g])
+            out = _mm(merged, big_k.astype(dt)) + big_b.astype(dt)
+            s_new, gate = out[:, :s_out], out[:, s_out:]
+        else:
+            s_new = _mm(merged, w_so_mm.astype(dt)) + b_so.astype(dt)
+
+        vu = _mm(vh, blockdiag3(w_up).astype(dt))
+        if st.vector_residual:
+            vu = vu + vector_rep
+        if st.vector_gate:
+            if gate is None:
+                w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
+                gate = _mm(act_v(s_new), w_g.astype(dt)) + b_g.astype(dt)
+            new_vector = vu * _tile3(jax.nn.sigmoid(gate))
+        elif not is_identity(st.vector_nonlinearity):
+            new_vector = vu * _tile3(act_v(safe_vec_norm(vu)))
+        else:
+            new_vector = vu
+
+        return ScalarVector(act_s(s_new), new_vector)
 
 
 class GCP3(GCP2):

@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Capture a jax.profiler trace of the flagship LBA train step.
 
-    python scripts/profile_model.py --out /tmp/gcp_profile
+    python scripts/profile_model.py --out /tmp/gcp_profile --variant dense
 
-View the trace with TensorBoard (`tensorboard --logdir <out>`) or upload
-the .trace files to ui.perfetto.dev.  This is the round-2 entry point for
-profile-driven kernel work.
+Reuses bench.py's variant builder so the profiled program is EXACTLY the
+benched one (same layout, precision policy, and trainer step).  Analyze
+with ``python scripts/analyze_profile.py <out>`` (no tensorboard needed)
+or upload the .trace files to ui.perfetto.dev.  This is the round-2/3
+entry point for profile-driven kernel work.
 """
 
 import argparse
@@ -20,41 +22,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/gcp_profile")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--sorted", action="store_true",
-                    help="use the receiver-sorted (Pallas) layout")
+    ap.add_argument("--variant", default="dense",
+                    help="bench.py variant: dense|modules|plain|sorted|fused")
     args = ap.parse_args()
 
     import jax
-    from gcpnet_tpu.utils.jax_setup import enable_compilation_cache
-    enable_compilation_cache()
     import jax.numpy as jnp
 
-    from bench_variants import build  # noqa: the sibling script
-    from gcpnet_tpu.models import graph_regression_loss
-    from gcpnet_tpu.parallel import make_mesh
-    from gcpnet_tpu.train import Trainer
+    os.environ["BENCH_VARIANT"] = args.variant
+    import bench
 
-    model, batch = build(args.sorted)
-    trainer = Trainer(
-        model, graph_regression_loss,
-        optimizer_cfg={"_target_": "Adam", "lr": 1e-4},
-        mesh=make_mesh(jax.devices()[:1]),
-        early_stopping_patience=None,
-    )
-    dev = trainer._put(batch)
-    trainer.init_state(dev)
+    trainer, dev = bench._build(args.variant)
     step = trainer._build_train_step()
     key = jax.random.key(0)
     one = jnp.float32(1.0)
     state = trainer.state
     for _ in range(3):
         state, loss, gn = step(state, dev, key, one)
-    jax.block_until_ready(loss)
+    float(loss)  # hard sync (block_until_ready under-reports on the tunnel)
 
     jax.profiler.start_trace(args.out)
     for _ in range(args.steps):
         state, loss, gn = step(state, dev, key, one)
-    jax.block_until_ready(loss)
+    float(loss)
     jax.profiler.stop_trace()
     print(f"trace written to {args.out}")
 
