@@ -38,10 +38,12 @@ EDGE_SLACK = 64 * 128
 # variant: production default "dense" (module-by-module GCP stack over the
 # DENSE fixed-degree receiver layout — receiver gathers become broadcasts
 # and receiver aggregations become [N, K, C] axis-1 sums; no XLA scatters
-# on the hot path) | "modules" (edge-list layout + XLA scatter — the
-# round-2 configuration) | "plain" (MM-form fast stack + XLA scatter) |
-# "sorted" (fast stack + sorted Pallas MXU segment reduction) | "fused"
-# (Pallas edge-map kernel); "all" runs each in its own subprocess
+# on the hot path — plus the fused low-pass-count GCP2 edge path) |
+# "densebase" (dense layout, fused GCP2 off — the pre-fusion control) |
+# "modules" (edge-list layout + XLA scatter — the round-2 configuration) |
+# "plain" (MM-form fast stack + XLA scatter) | "sorted" (fast stack +
+# sorted Pallas MXU segment reduction) | "fused" (Pallas edge-map kernel);
+# "all" runs each in its own subprocess
 VARIANT = os.environ.get("BENCH_VARIANT", "dense")
 # in-degree cap for the dense layout — matches the native radius-graph
 # builder's per-receiver cap (cpp/graph_kernels.cpp, max_neighbors=32)
@@ -108,7 +110,13 @@ def _flops_subprocess(variant: str) -> float:
             cache = json.load(f)
     except Exception:
         pass
-    key = f"{variant}:{NODES_PER_GRAPH}:{EDGES_PER_GRAPH}:{GRAPHS_PER_BATCH}"
+    # key carries the fused-GCP state: "dense" flipped from unfused (r3
+    # control, 1.445 TF) to fused (1.874 TF) when the default changed
+    fused = int(variant in ("dense", "densegcp"))
+    key = (
+        f"{variant}:g{fused}:{NODES_PER_GRAPH}:{EDGES_PER_GRAPH}"
+        f":{GRAPHS_PER_BATCH}"
+    )
     if key in cache:
         return float(cache[key])
     env = dict(
@@ -163,8 +171,10 @@ def _build(variant: str, num_encoder_layers: int = 8):
     mp.USE_FAST_STACK = variant in ("plain", "sorted", "fused", "densefast")
     pallas_fused.USE_FUSED_MESSAGE = variant == "fused"
     segment_ops.USE_PALLAS_SEGMENT = variant in ("fused", "sorted")
-    # "densegcp": dense layout + the fused low-pass-count GCP2 edge path
-    gcp_mod.USE_FUSED_GCP = variant == "densegcp"
+    # The fused low-pass-count GCP2 edge path is the production default
+    # ("dense" == "densegcp"); "densebase" is the unfused-control variant
+    # (the round-3 pre-fusion default, 191.9 ms/step vs 173.1 fused).
+    gcp_mod.USE_FUSED_GCP = variant in ("dense", "densegcp")
 
     rng = np.random.default_rng(0)
 
@@ -211,11 +221,13 @@ def _build(variant: str, num_encoder_layers: int = 8):
         bucket,
         extra_graph_keys=("label",),
         dense_degree=(
-            DENSE_DEGREE if variant in ("dense", "densefast", "densegcp") else None
+            DENSE_DEGREE
+            if variant in ("dense", "densefast", "densegcp", "densebase")
+            else None
         ),
         dense_out_degree=(
             DENSE_OUT_DEGREE
-            if variant in ("dense", "densefast", "densegcp")
+            if variant in ("dense", "densefast", "densegcp", "densebase")
             else None
         ),
     )
@@ -377,7 +389,7 @@ def main():
         import subprocess
 
         failed = []
-        for v in ("dense", "modules", "plain", "sorted", "fused"):
+        for v in ("dense", "densebase", "modules", "plain", "sorted", "fused"):
             env = dict(os.environ, BENCH_VARIANT=v)
             proc = subprocess.run([sys.executable, __file__], env=env)
             if proc.returncode != 0:

@@ -40,7 +40,9 @@ Array = jax.Array
 # plus per-column scalarize extracts.  None = auto; env override
 # GCPNET_FUSED_GCP=0/1.
 USE_FUSED_GCP: Optional[bool] = None
-_FUSED_GCP_AUTO = False  # flipped by benchmark evidence (see RESULTS.md)
+# Default ON: measured 191.9 -> 173.1 ms/step (1.11x) on the production
+# dense-layout bench, v5e bf16 (RESULTS.md round-3 variant matrix).
+_FUSED_GCP_AUTO = True
 
 
 def fused_gcp_enabled() -> bool:
