@@ -113,8 +113,9 @@ def _flops_subprocess(variant: str) -> float:
     # key carries the fused-GCP state: "dense" flipped from unfused (r3
     # control, 1.445 TF) to fused (1.874 TF) when the default changed
     fused = int(variant in ("dense", "densegcp"))
+    remat = int(os.environ.get("BENCH_REMAT", "") in ("1", "true"))
     key = (
-        f"{variant}:g{fused}:{NODES_PER_GRAPH}:{EDGES_PER_GRAPH}"
+        f"{variant}:g{fused}:r{remat}:{NODES_PER_GRAPH}:{EDGES_PER_GRAPH}"
         f":{GRAPHS_PER_BATCH}"
     )
     if key in cache:
@@ -247,6 +248,10 @@ def _build(variant: str, num_encoder_layers: int = 8):
         module_cfg=ModuleCfg(),
         layer_cfg=LayerCfg(mp_cfg=MPCfg(num_message_layers=8)),
         num_atom_types=9,
+        # BENCH_REMAT=1: rematerialize each interaction layer in backward —
+        # trades recompute FLOPs for HBM activation traffic (the profile
+        # shows the step is DMA-bound)
+        remat=os.environ.get("BENCH_REMAT", "") in ("1", "true"),
     )
 
     mesh = make_mesh(jax.devices()[:1])
