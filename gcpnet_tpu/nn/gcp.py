@@ -330,7 +330,7 @@ class GCP2(nn.Module):
         num_entities = None
 
         if (
-            not node_inputs
+            (not node_inputs or node_frames is not None)
             and v_in > 0
             and v_out > 0
             and fused_gcp_enabled()
@@ -341,6 +341,12 @@ class GCP2(nn.Module):
             and not st.ablate_scalars
             and not st.ablate_vectors
         ):
+            # Node-mode rows use their (pre-masked, count-normalized) mean
+            # frame exactly like edge-mode rows use their edge frame — the
+            # linearity fast path (frames.py scalarize) is the same
+            # row-wise product, so the fused re-association applies as-is.
+            if node_inputs:
+                return self._fused_edge_call(s_maybe_v, node_frames, None)
             return self._fused_edge_call(s_maybe_v, frames, edge_mask)
 
         if v_in:

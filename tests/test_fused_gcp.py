@@ -96,6 +96,72 @@ def test_fused_gcp2_edge_matches_module_path(monkeypatch, overrides):
     )
 
 
+@pytest.mark.parametrize(
+    "overrides",
+    [{}, {"vector_gate": False}],
+    ids=["default", "no_gate"],
+)
+def test_fused_gcp2_node_matches_module_path(monkeypatch, overrides):
+    """Node-mode (node_inputs=True + node_frames) fused path parity —
+    covers the interactions feedforward / position-update GCPs."""
+    from gcpnet_tpu.nn.frames import node_mean_frames
+
+    n, e, s_in, v_in = 24, 96, 12, 8
+    rep = ScalarVector(
+        jnp.asarray(RNG.normal(size=(n, s_in)).astype(np.float32)),
+        jnp.asarray(RNG.normal(size=(n, 3 * v_in)).astype(np.float32)),
+    )
+    x = jnp.asarray((RNG.normal(size=(n, 3)) * 4).astype(np.float32))
+    senders = jnp.asarray(RNG.integers(0, n, size=e).astype(np.int32))
+    receivers = jnp.asarray(RNG.integers(0, n, size=e).astype(np.int32))
+    frames = localize(x, senders, receivers)
+    edge_mask = jnp.asarray(np.arange(e) < e - 7)
+    nf = node_mean_frames(frames, senders, n, edge_mask, edge_mask)
+
+    cfg = ModuleCfg(selected_gcp="GCP2", **overrides)
+    settings = GCPSettings.from_cfg(cfg)
+    module = GCP2(
+        input_dims=(s_in, v_in), output_dims=(10, 4), settings=settings
+    )
+
+    def run(fused):
+        monkeypatch.setattr(gcp_mod, "USE_FUSED_GCP", fused)
+        params = module.init(
+            jax.random.key(3), rep, senders, receivers, frames,
+            node_inputs=True, edge_mask=edge_mask, count_mask=edge_mask,
+            node_frames=nf,
+        )
+
+        def f(p, r):
+            out = module.apply(
+                p, r, senders, receivers, frames,
+                node_inputs=True, edge_mask=edge_mask,
+                count_mask=edge_mask, node_frames=nf,
+            )
+            return jnp.sum(out.scalar ** 2) + jnp.sum(out.vector ** 2)
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(params, rep)
+        return params, float(val), grads
+
+    p_plain, v_plain, g_plain = run(False)
+    p_fused, v_fused, g_fused = run(True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        p_plain,
+        p_fused,
+    )
+    assert v_fused == pytest.approx(v_plain, rel=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        ),
+        g_plain,
+        g_fused,
+    )
+
+
 @pytest.mark.heavy
 def test_fused_gcp_whole_model_parity(monkeypatch):
     """Full LBA model: default (fused) vs forced-off — loss and grads."""
