@@ -358,6 +358,15 @@ def run_variant(variant: str) -> dict:
         return best
 
     t_small = timed(k_small)
+    # optional op-level trace of the measured executable itself (reuses the
+    # cached fori-loop program — cheap even when fresh compiles are slow):
+    # GCPNET_BENCH_TRACE=<dir> then scripts/analyze_profile.py <dir>
+    trace_dir = os.environ.get("GCPNET_BENCH_TRACE", "")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        state, loss = run_k(state, dev_batch, k_big)
+        float(loss)
+        jax.profiler.stop_trace()
     t_big = timed(k_big)
     step_time = (t_big - t_small) / (K_BIG - K_SMALL)
     dispatch_overhead = max(t_small - K_SMALL * step_time, 0.0)

@@ -486,7 +486,13 @@ class GCP2(nn.Module):
             [w_so[: s_in + hidden], jnp.asarray(s3) @ w_so[s_in + hidden :]],
             axis=0,
         )
-        merged = jnp.concatenate([scalar_rep, vnorm, prod], axis=-1)
+        # split the scalar_out contraction by rows instead of materializing
+        # merged = [s ‖ vnorm ‖ prod]: TPU pads the minor dim to 128 lanes,
+        # so the concatenated [E, s_in+hidden+27] array (136 -> 256 cols at
+        # production dims) is the single largest edge-level buffer in the
+        # layer — two matmuls over the already-materialized operands move
+        # strictly less HBM
+        vp = jnp.concatenate([vnorm, prod], axis=-1)
 
         fold_gate = st.vector_gate and is_identity(st.vector_nonlinearity)
         gate = None
@@ -494,10 +500,18 @@ class GCP2(nn.Module):
             w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
             big_k = jnp.concatenate([w_so_mm, w_so_mm @ w_g], axis=1)
             big_b = jnp.concatenate([b_so, b_so @ w_g + b_g])
-            out = _mm(merged, big_k.astype(dt)) + big_b.astype(dt)
+            out = (
+                _mm(scalar_rep, big_k[:s_in].astype(dt))
+                + _mm(vp, big_k[s_in:].astype(dt))
+                + big_b.astype(dt)
+            )
             s_new, gate = out[:, :s_out], out[:, s_out:]
         else:
-            s_new = _mm(merged, w_so_mm.astype(dt)) + b_so.astype(dt)
+            s_new = (
+                _mm(scalar_rep, w_so_mm[:s_in].astype(dt))
+                + _mm(vp, w_so_mm[s_in:].astype(dt))
+                + b_so.astype(dt)
+            )
 
         vu = _mm(vh, blockdiag3(w_up).astype(dt))
         if st.vector_residual:
