@@ -85,6 +85,14 @@ def _mm(x: Array, kernel: Array) -> Array:
     )
 
 
+def _mm_f32(x: Array, kernel: Array) -> Array:
+    """Matmul returning the raw f32 accumulator (no round-trip through the
+    activation dtype).  Used where one logical contraction is split into
+    partial products: summing the partials in f32 and casting ONCE matches
+    the single-matmul numerics exactly."""
+    return jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+
+
 class Dense(nn.Module):
     """nn.Dense with torch-style init."""
 
@@ -291,6 +299,16 @@ class GCP2(nn.Module):
     Fuses the frame-derived scalars into a single scalar update:
     ``scalar_out([s ‖ ‖vector_down(v)‖ ‖ scalarize(vector_down_frames(v))])``;
     the vector path is ``vector_up`` with frame-/vector-/self-gating.
+
+    Masking contract for node mode: when ``node_inputs=True`` and
+    ``node_frames`` is given (the linearity fast path — see
+    ``frames.node_mean_frames``), the fused branch and ``scalarize``'s fast
+    path both use ``node_frames`` AS-IS and ignore the ``edge_mask`` /
+    ``count_mask`` arguments: the masks must already be baked into
+    ``node_frames`` (i.e. it came from ``node_mean_frames(frames, senders,
+    edge_mask=<same>, count_mask=<same>)``).  Passing a ``node_frames``
+    built with different masks silently diverges from the per-edge
+    reference semantics (gcpnet.py:314-323).
     """
 
     input_dims: Tuple[int, int]
@@ -500,18 +518,21 @@ class GCP2(nn.Module):
             w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
             big_k = jnp.concatenate([w_so_mm, w_so_mm @ w_g], axis=1)
             big_b = jnp.concatenate([b_so, b_so @ w_g + b_g])
+            # both partial products stay in the f32 accumulator and are
+            # rounded ONCE after the add — same numerics as the unsplit
+            # single-matmul contraction (advisor r3 finding)
             out = (
-                _mm(scalar_rep, big_k[:s_in].astype(dt))
-                + _mm(vp, big_k[s_in:].astype(dt))
-                + big_b.astype(dt)
-            )
+                _mm_f32(scalar_rep, big_k[:s_in].astype(dt))
+                + _mm_f32(vp, big_k[s_in:].astype(dt))
+                + big_b.astype(jnp.float32)
+            ).astype(dt)
             s_new, gate = out[:, :s_out], out[:, s_out:]
         else:
             s_new = (
-                _mm(scalar_rep, w_so_mm[:s_in].astype(dt))
-                + _mm(vp, w_so_mm[s_in:].astype(dt))
-                + b_so.astype(dt)
-            )
+                _mm_f32(scalar_rep, w_so_mm[:s_in].astype(dt))
+                + _mm_f32(vp, w_so_mm[s_in:].astype(dt))
+                + b_so.astype(jnp.float32)
+            ).astype(dt)
 
         vu = _mm(vh, blockdiag3(w_up).astype(dt))
         if st.vector_residual:

@@ -424,10 +424,11 @@ class Trainer:
                     self.state, payload, rng, lr_scale
                 )
                 n += 1
-                i = item[2]
-                if i < 0 or i % self.log_every_n_steps == 0:
-                    losses.append(loss)
-                    loss_weights.append(1.0)
+                # every step's loss enters the epoch mean (they are device
+                # scalars, fetched in ONE device_get at epoch end) — the
+                # scan path already averages all K chunk losses on device
+                losses.append(loss)
+                loss_weights.append(1.0)
         # step-frequency checkpointing (the reference NStepModelCheckpoint,
         # src/utils/__init__.py:25)
         if self.ckpt is not None and self.checkpoint_every_n_steps:
@@ -440,7 +441,8 @@ class Trainer:
             "train/loss": (
                 float(
                     np.average(
-                        [float(l) for l in losses], weights=loss_weights
+                        [float(l) for l in jax.device_get(losses)],
+                        weights=loss_weights,
                     )
                 )
                 if losses

@@ -415,10 +415,16 @@ def lba_forward(
     params, h, chi, e, xi, x, row, col, batch_index, num_graphs, *,
     num_atom_types, node_in_dims, edge_in_dims, node_dims, edge_dims,
     num_layers, num_message_layers, output_scale_factor=2,
-    nonlinearities=("relu", None),
+    nonlinearities=("relu", None), dense_activation="relu",
+    gcp_kwargs=None,
 ):
-    """GCPNetLBALitModule.forward (gcpnet_lba_module.py:155-186)."""
+    """GCPNetLBALitModule.forward (gcpnet_lba_module.py:155-186).  PSR is
+    byte-identical architecture (gcpnet_psr_module.py:161-192); RS differs
+    only by ``num_atom_types=0`` (float node scalars),
+    ``dense_activation='leakyrelu'`` and ``gcp_kwargs={'e3': True}``
+    (gcpnet_rs_module.py:158-198)."""
     enc = params["encoder"]
+    gcp_kwargs = gcp_kwargs or {}
     _, x = centralize(x, batch_index, num_graphs)
     frames = localize(x, row, col)
     (h, chi), (e, xi) = embedding_forward(
@@ -426,24 +432,25 @@ def lba_forward(
         node_in_dims=node_in_dims, node_hidden_dims=node_dims,
         edge_in_dims=edge_in_dims, edge_hidden_dims=edge_dims,
         num_atom_types=num_atom_types, pre_norm=True,
+        gcp_kwargs=gcp_kwargs,
     )
     for i in range(num_layers):
         (h, chi), _ = interactions_forward(
             enc[f"interaction_{i}"], (h, chi), (e, xi), row, col, frames,
             node_dims=node_dims, edge_dims=edge_dims,
             num_message_layers=num_message_layers,
-            nonlinearities=nonlinearities,
+            nonlinearities=nonlinearities, gcp_kwargs=gcp_kwargs,
         )
     head = params["head"]
     s, v = gcp_layer_norm(head["projection_norm"], h, chi)
     out, _ = gcp2_forward(
         head["invariant_node_projection"], s, v, row, col, frames,
         node_inputs=True, in_dims=node_dims, out_dims=(node_dims[0], 0),
-        nonlinearities=nonlinearities,
+        nonlinearities=nonlinearities, **gcp_kwargs,
     )
     pooled = scatter(out, batch_index, num_graphs, reduce="mean")
     y = dense(head["dense_0"], pooled)
-    y = np.maximum(y, 0.0)
+    y = get_nonlinearity(dense_activation)(y)
     y = dense(head["dense_1"], y)
     return y[:, 0]
 
@@ -677,6 +684,44 @@ def eq_forward(
     y = np.maximum(y, 0.0)
     y = dense(params["dense_1"], y)
     return y[:, 0]
+
+
+def ar_forward(
+    params, h, chi, e, xi, x, atom_residue_idx, ca_x, row, col,
+    batch_index, num_graphs, *,
+    node_in_dims, edge_in_dims, node_dims, edge_dims,
+    num_layers, num_message_layers, num_feedforward_layers=1,
+    nonlinearities=("silu", "silu"), node_mask=None,
+):
+    """GCPNetARLitModule.forward (gcpnet_ar_module.py:139-175): position-
+    updating GCPInteractions2 trunk, decentralize, then per-residue Ca
+    offsets — the reference loops over residues re-anchoring each atom at
+    ``ca_x[res] + (x_out - x_in)``; here that is one gather over global
+    residue ids (``ca_x`` is the concatenated residue Ca table)."""
+    enc = params["encoder"]
+    x_input = x
+    centroid, xc = centralize(x, batch_index, num_graphs)
+    frames = localize(xc, row, col)
+    (hn, chin), (en, xin) = embedding_forward(
+        enc["gcp_embedding"], h, chi, e, xi, row, col, frames,
+        node_in_dims=node_in_dims, node_hidden_dims=node_dims,
+        edge_in_dims=edge_in_dims, edge_hidden_dims=edge_dims,
+        num_atom_types=0, pre_norm=True,
+        nonlinearities=nonlinearities, node_mask=node_mask,
+    )
+    pos = xc
+    for i in range(num_layers):
+        (hn, chin), pos = interactions2_forward(
+            enc[f"interaction_{i}"], (hn, chin), (en, xin), row, col, frames,
+            node_dims=node_dims, edge_dims=edge_dims,
+            num_message_layers=num_message_layers,
+            num_feedforward_layers=num_feedforward_layers,
+            updating_node_positions=True, node_pos=pos,
+            nonlinearities=nonlinearities, node_mask=node_mask,
+        )
+    x_out = pos + centroid[batch_index]  # decentralize
+    x_shift = x_out - x_input
+    return ca_x[atom_residue_idx.astype(int)] + x_shift
 
 
 # ---------------------------------------------------------------------------

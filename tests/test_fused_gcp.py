@@ -98,8 +98,13 @@ def test_fused_gcp2_edge_matches_module_path(monkeypatch, overrides):
 
 @pytest.mark.parametrize(
     "overrides",
-    [{}, {"vector_gate": False}],
-    ids=["default", "no_gate"],
+    [
+        {},
+        {"vector_gate": False},
+        {"vector_residual": True},
+        {"bottleneck": 2},
+    ],
+    ids=["default", "no_gate", "vec_residual", "bottleneck2"],
 )
 def test_fused_gcp2_node_matches_module_path(monkeypatch, overrides):
     """Node-mode (node_inputs=True + node_frames) fused path parity —
@@ -120,8 +125,10 @@ def test_fused_gcp2_node_matches_module_path(monkeypatch, overrides):
 
     cfg = ModuleCfg(selected_gcp="GCP2", **overrides)
     settings = GCPSettings.from_cfg(cfg)
+    # vector_residual adds the raw input vectors, so v_out must equal v_in
+    v_out = v_in if overrides.get("vector_residual") else 4
     module = GCP2(
-        input_dims=(s_in, v_in), output_dims=(10, 4), settings=settings
+        input_dims=(s_in, v_in), output_dims=(10, v_out), settings=settings
     )
 
     def run(fused):

@@ -27,7 +27,10 @@ from gcpnet_tpu.data.batching import Bucket, batches_from_dataset
 from gcpnet_tpu.graph import GraphData
 from gcpnet_tpu.models import GCPNetLBA, GCPNetNMS
 
-pytestmark = pytest.mark.heavy  # compile-heavy integration tier
+# compile-heavy integration tier — EXCEPT the NMS case (cheapest whole-model
+# golden, ~5 s), which stays in the fast per-commit gate so every commit
+# runs at least one full-composition parity check (VERDICT r3 item 7)
+heavy = pytest.mark.heavy
 
 RNG = np.random.default_rng(11)
 
@@ -85,6 +88,7 @@ def _concat_for_numpy(graphs):
             np.concatenate(bidx))
 
 
+@heavy
 def test_lba_whole_model_matches_numpy_reference():
     graphs = _graphs(0, 2, 8, 1, int_h=True)
     batch = _padded_batch(graphs)
@@ -147,6 +151,7 @@ def test_nms_whole_model_matches_numpy_reference():
     np.testing.assert_allclose(out_flax[real], out_np, atol=1e-4)
 
 
+@heavy
 def test_eq_whole_model_matches_numpy_reference():
     """GCP3 / GCPInteractions2 trunk (attention + aggregate_with_row + one
     feedforward_out FF layer) + atom->residue pooling head."""
@@ -222,6 +227,7 @@ def test_eq_whole_model_matches_numpy_reference():
     np.testing.assert_allclose(out_flax[: num_res * G], out_np, atol=1e-4)
 
 
+@heavy
 def test_cpd_whole_model_matches_numpy_reference():
     """Encoder + autoregressive decoder (causal sequence edges, forward/
     backward edge split, count normalization) with a real node mask —
