@@ -290,3 +290,119 @@ def test_cpd_whole_model_matches_numpy_reference():
     np.testing.assert_allclose(
         logits_flax[real][valid], out_np[valid], atol=1e-4
     )
+
+
+@heavy
+def test_ar_whole_model_matches_numpy_reference():
+    """Position-updating GCPInteractions2 trunk (GCP3, silu/silu) +
+    decentralize + per-residue Ca-offset head — the AR composition
+    (gcpnet_ar_module.py:139-175)."""
+    from gcpnet_tpu.data.ar import _globalize_ar_residues
+    from gcpnet_tpu.models import GCPNetAR
+
+    num_res = 5
+    graphs = []
+    for _ in range(G):
+        n = num_res * 3
+        res_idx = np.repeat(np.arange(num_res), 3).astype(np.int32)
+        graphs.append(
+            GraphData(
+                h=RNG.normal(size=(n, 10)).astype(np.float32),
+                chi=RNG.normal(size=(n, 2, 3)).astype(np.float32),
+                e=RNG.normal(size=(E_PER, 12)).astype(np.float32),
+                xi=RNG.normal(size=(E_PER, 1, 3)).astype(np.float32),
+                x=(RNG.normal(size=(n, 3)) * 4).astype(np.float32),
+                senders=RNG.integers(0, n, size=E_PER).astype(np.int32),
+                receivers=RNG.integers(0, n, size=E_PER).astype(np.int32),
+                extras={
+                    "atom_residue_idx": res_idx,
+                    "ca_x_local": (RNG.normal(size=(num_res, 3)) * 4).astype(
+                        np.float32
+                    ),
+                    "label": (RNG.normal(size=(n, 3)) * 4).astype(np.float32),
+                },
+            )
+        )
+    bucket = Bucket(
+        num_nodes=num_res * 3 * G + 6, num_edges=E_PER * G + 13,
+        num_graphs=G + 1,
+    )
+    batch = next(batches_from_dataset(graphs, bucket, drop_last=False))
+    batch = _globalize_ar_residues(batch, max_residues=num_res * G + 3)
+
+    model = GCPNetAR(
+        model_cfg=ModelCfg(
+            h_input_dim=10, chi_input_dim=2, e_input_dim=12, xi_input_dim=1,
+            h_hidden_dim=NODE_DIMS[0], chi_hidden_dim=NODE_DIMS[1],
+            e_hidden_dim=EDGE_DIMS[0], xi_hidden_dim=EDGE_DIMS[1],
+            num_encoder_layers=2, dropout=0.0,
+        ),
+        module_cfg=ModuleCfg(
+            selected_gcp="GCP3", scalar_nonlinearity="silu",
+            vector_nonlinearity="silu",
+        ),
+        layer_cfg=LayerCfg(
+            use_scalar_message_attention=True, aggregate_with_row=True,
+            num_feedforward_layers=1, mp_cfg=MPCfg(num_message_layers=3),
+        ),
+    )
+    dev = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if a is not None else None, batch
+    )
+    params = model.init(jax.random.key(9), dev, True)
+    out_flax = np.asarray(model.apply(params, dev, True))
+
+    h, chi, e, xi, x, row, col, bidx = _concat_for_numpy(graphs)
+    res_idx_global = np.concatenate(
+        [g.extras["atom_residue_idx"] + gi * num_res
+         for gi, g in enumerate(graphs)]
+    )
+    ca_x = np.concatenate(
+        [g.extras["ca_x_local"] for g in graphs]
+    ).astype(np.float64)
+    out_np = npref.ar_forward(
+        jax.device_get(params)["params"], h, chi, e, xi, x,
+        res_idx_global, ca_x, row, col, bidx, G,
+        node_in_dims=(10, 2), edge_in_dims=(12, 1),
+        node_dims=NODE_DIMS, edge_dims=EDGE_DIMS,
+        num_layers=2, num_message_layers=3, num_feedforward_layers=1,
+        nonlinearities=("silu", "silu"),
+    )
+    real = np.asarray(batch.node_pad_mask)
+    np.testing.assert_allclose(out_flax[real], out_np, atol=1e-4)
+
+
+@heavy
+def test_rs_whole_model_matches_numpy_reference():
+    """RS head variant: float node scalars (no atom embedding), leakyrelu
+    dense head, E(3) mode (|x_cross| scalarize component) — the chirality
+    probe configuration (gcpnet_rs_module.py:158-198)."""
+    from gcpnet_tpu.models import GCPNetRS
+
+    graphs = _graphs(7, 2, 8, 1, int_h=False)
+    batch = _padded_batch(graphs)
+    model = GCPNetRS(
+        model_cfg=ModelCfg(
+            h_input_dim=7, chi_input_dim=2, e_input_dim=8, xi_input_dim=1,
+            h_hidden_dim=NODE_DIMS[0], chi_hidden_dim=NODE_DIMS[1],
+            e_hidden_dim=EDGE_DIMS[0], xi_hidden_dim=EDGE_DIMS[1],
+            num_encoder_layers=2, dropout=0.0,
+        ),
+        module_cfg=ModuleCfg(enable_e3_equivariance=True),
+        layer_cfg=LayerCfg(mp_cfg=MPCfg(num_message_layers=3)),
+    )
+    dev = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if a is not None else None, batch
+    )
+    params = model.init(jax.random.key(4), dev, True)
+    out_flax = np.asarray(model.apply(params, dev, True))[:G]
+
+    h, chi, e, xi, x, row, col, bidx = _concat_for_numpy(graphs)
+    out_np = npref.lba_forward(
+        jax.device_get(params)["params"], h, chi, e, xi, x, row, col, bidx, G,
+        num_atom_types=0, node_in_dims=(7, 2), edge_in_dims=(8, 1),
+        node_dims=NODE_DIMS, edge_dims=EDGE_DIMS,
+        num_layers=2, num_message_layers=3,
+        dense_activation="leakyrelu", gcp_kwargs={"e3": True},
+    )
+    np.testing.assert_allclose(out_flax, out_np, atol=1e-4)
