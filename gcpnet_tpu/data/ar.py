@@ -414,6 +414,16 @@ class ARDataModule:
             num_graphs=self.batch_size,
         )
 
+    def _sender_budget(self) -> int:
+        """Max OUT-degree bound of the hybrid-kNN graph: each center i picks
+        k_max nearest plus the < k_min sequential window (2*(k_min-1)
+        neighbors), so out-degree <= k_max + 2*k_min — a sender-dense perm
+        (scatter-free sender-keyed aggregation, aggregate_with_row) fits in
+        exactly the bucket's per-node edge budget.  IN-degree is unbounded
+        (a hub atom can be in many centers' kNN lists), so the
+        receiver-dense layout does not apply."""
+        return self.k_max + 2 * self.k_min
+
     def batches(
         self, split: str, shuffle: bool = False, seed: int = 0
     ) -> Iterator[GraphBatch]:
@@ -424,6 +434,7 @@ class ARDataModule:
             num_shards=self.num_shards,
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
+            dense_out_degree=self._sender_budget(),
         ):
             yield _globalize_ar_residues(
                 batch, self.max_residues_per_batch, self.num_shards
@@ -469,7 +480,8 @@ class ARDataModule:
                 g.extras["overlap_keep_mask"] = keep_atoms.astype(np.float32)
                 batch = next(
                     batches_from_dataset(
-                        [g], self._bucket(), num_shards=1, drop_last=False
+                        [g], self._bucket(), num_shards=1, drop_last=False,
+                        dense_out_degree=self._sender_budget(),
                     )
                 )
                 self.predict_paths.append(decoy)

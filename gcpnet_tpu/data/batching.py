@@ -220,6 +220,35 @@ def build_sender_perm(
     return perm
 
 
+def invert_sender_perm(perm: np.ndarray, num_edges: int) -> np.ndarray:
+    """[E] inverse of a sender-dense perm: entry e = the perm slot holding
+    edge row e, -1 for padding edges.  Makes the backward of the slot
+    gather a plain gather (ops.segment._edge_rows_to_slots)."""
+    inv = np.full(num_edges, -1, np.int32)
+    slots = np.flatnonzero(perm >= 0)
+    inv[perm[slots]] = slots
+    return inv
+
+
+def attach_sender_perm(batch: GraphBatch, out_degree: int) -> GraphBatch:
+    """Attach the SLOT-MAJOR sender-dense permutation (+ inverse) to one
+    shard WITHOUT re-laying its edges — for graph families whose OUT-degree
+    is bounded but whose in-degree is not (e.g. the AR hybrid-kNN graph,
+    out-degree <= k_max + 2*k_min): sender-keyed aggregation and gathers
+    run scatter-free while the edge list keeps its original order."""
+    perm = build_sender_perm(
+        np.asarray(batch.senders),
+        np.asarray(batch.edge_pad_mask),
+        batch.num_nodes,
+        out_degree,
+    )
+    return batch.replace(
+        sender_perm=perm,
+        sender_inv_perm=invert_sender_perm(perm, batch.num_edges),
+        sender_out_degree=int(out_degree),
+    )
+
+
 def densify_edges_by_receiver(
     batch: GraphBatch, degree: int, out_degree: Optional[int] = None
 ) -> GraphBatch:
@@ -296,11 +325,12 @@ def densify_edges_by_receiver(
         )
         for k, v in batch.extras.items()
     }
-    sender_perm = None
+    sender_perm = sender_inv = None
     if out_degree is not None:
         sender_perm = build_sender_perm(
             senders, edge_pad_mask, num_nodes, out_degree
         )
+        sender_inv = invert_sender_perm(sender_perm, num_edges)
     return batch.replace(
         e=place(batch.e),
         xi=place(batch.xi),
@@ -312,6 +342,7 @@ def densify_edges_by_receiver(
         edge_dense_degree=int(degree),
         sender_perm=sender_perm,
         sender_out_degree=int(out_degree) if out_degree is not None else None,
+        sender_inv_perm=sender_inv,
     )
 
 
@@ -351,6 +382,10 @@ def collate_shards(
             densify_edges_by_receiver(s, dense_degree, dense_out_degree)
             for s in shards
         ]
+    elif dense_out_degree is not None:
+        # sender-dense perm over the ORIGINAL edge layout — for graphs with
+        # bounded out-degree but unbounded in-degree (AR hybrid-kNN)
+        shards = [attach_sender_perm(s, dense_out_degree) for s in shards]
     elif sort_edges:
         shards = [sort_edges_by_receiver(s) for s in shards]
     if len(shards) == 1:

@@ -303,15 +303,31 @@ class EQDataModule:
             num_graphs=self.batch_size,
         )
 
+    def _dense_budgets(self):
+        """DENSE fixed-degree layout budgets: the radius-graph featurizer
+        caps IN-degree at max_neighbors, so the receiver-dense layout fits
+        exactly in the bucket's n*max_neighbors edge budget; out-degree is
+        uncapped but physically bounded by atom packing within the 4.5 A
+        cutoff — budget 2x the in-cap (same rationale as the ATOM3D
+        datamodule).  The CA-only mode overrides the featurizer's cap
+        internally (cutoff 8.0, cap 128), so the datamodule-level budget
+        would be wrong there — keep the edge-list layout."""
+        if self.subset_to_ca:
+            return None, None
+        return self.max_neighbors, 2 * self.max_neighbors
+
     def batches(
         self, split: str, shuffle: bool = False, seed: int = 0
     ) -> Iterator[GraphBatch]:
+        dense_degree, dense_out = self._dense_budgets()
         for batch in batches_from_dataset(
             self._graphs(split),
             self._bucket(),
             num_shards=self.num_shards,
             shuffle_seed=seed if shuffle else None,
             drop_last=shuffle,
+            dense_degree=dense_degree,
+            dense_out_degree=dense_out,
         ):
             yield _globalize_residues(
                 batch, self.max_residues_per_batch, self.num_shards
@@ -354,9 +370,11 @@ class EQDataModule:
                 lddt_exec_path=self.lddt_exec_path,
                 subset_to_ca_atoms_only=self.subset_to_ca,
             )
+            dense_degree, dense_out = self._dense_budgets()
             batch = next(
                 batches_from_dataset(
-                    [g], self._bucket(), num_shards=1, drop_last=False
+                    [g], self._bucket(), num_shards=1, drop_last=False,
+                    dense_degree=dense_degree, dense_out_degree=dense_out,
                 )
             )
             batch = _globalize_residues(batch, self.max_residues_per_batch)

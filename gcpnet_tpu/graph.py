@@ -85,6 +85,14 @@ class GraphBatch(struct.PyTreeNode):
     sender_out_degree: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # optional inverse of sender_perm: [E] int32 where entry e is the perm
+    # slot holding edge row e (-1 for padding edges).  Because sender_perm
+    # places every real edge in exactly one slot, the backward of the
+    # slot gather ``data[sender_perm]`` is a PERMUTATION scatter — with the
+    # inverse it runs as a plain gather instead (ops.segment.sender_sum /
+    # sender_mean), keeping the sender-keyed aggregation scatter-free in
+    # BOTH directions.
+    sender_inv_perm: Optional[Array] = None
 
     @property
     def num_nodes(self) -> int:

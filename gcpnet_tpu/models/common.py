@@ -203,7 +203,7 @@ class GCPNetEncoder(nn.Module):
 
         def run_layer(
             mdl, nrep, erep, senders, receivers, frms,
-            nmask, npos, emask, cmask, rsplits, sperm,
+            nmask, npos, emask, cmask, rsplits, sperm, sinv,
         ):
             return mdl(
                 nrep, erep, senders, receivers, frms,
@@ -212,6 +212,7 @@ class GCPNetEncoder(nn.Module):
                 deterministic=deterministic,
                 dense_degree=dense_degree,
                 sender_perm=sperm, sender_degree=sender_degree,
+                sender_inv=sinv,
             )
 
         run = nn.remat(run_layer, prevent_cse=False) if self.remat else run_layer
@@ -255,6 +256,7 @@ class GCPNetEncoder(nn.Module):
                     count_mask,
                     batch.edge_row_splits,
                     batch.sender_perm,
+                    batch.sender_inv_perm,
                 )
                 if self.updating_node_positions:
                     node_rep, node_pos = out
@@ -330,6 +332,7 @@ class GCPNetEncoder(nn.Module):
                 dense_degree=batch.edge_dense_degree,
                 sender_perm=batch.sender_perm,
                 sender_degree=batch.sender_out_degree,
+                sender_inv=batch.sender_inv_perm,
                 rngs={"dropout": key} if needs_rng else None,
             )
             if updating:

@@ -117,6 +117,7 @@ def node_mean_frames(
     count_mask: Optional[Array] = None,
     sender_perm: Optional[Array] = None,
     sender_degree: Optional[int] = None,
+    sender_inv: Optional[Array] = None,
 ) -> Array:
     """Per-node mean of outgoing-edge frames, ``[N, 9]``.
 
@@ -141,6 +142,7 @@ def node_mean_frames(
         count_mask=count_mask if count_mask is not None else edge_mask,
         sender_perm=sender_perm,
         out_degree=sender_degree,
+        inv_perm=sender_inv,
     )
 
 

@@ -78,6 +78,7 @@ class GCPInteractions(nn.Module):
         dense_degree: Optional[int] = None,
         sender_perm: Optional[Array] = None,
         sender_degree: Optional[int] = None,
+        sender_inv: Optional[Array] = None,
     ):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
@@ -128,6 +129,7 @@ class GCPInteractions(nn.Module):
                 count_mask=count_mask, row_splits=row_splits,
                 dense_degree=dense_degree,
                 sender_perm=sender_perm, sender_degree=sender_degree,
+                sender_inv=sender_inv,
             )
             bwd = interaction(
                 ScalarVector(*node_rep_regressive), edge_rep, senders, receivers,
@@ -137,6 +139,7 @@ class GCPInteractions(nn.Module):
                 count_mask=count_mask, row_splits=row_splits,
                 dense_degree=dense_degree,
                 sender_perm=sender_perm, sender_degree=sender_degree,
+                sender_inv=sender_inv,
             )
             hidden_residual = fwd + bwd
             # normalize by total in-degree over all (real) edges
@@ -158,6 +161,7 @@ class GCPInteractions(nn.Module):
                 row_splits=row_splits,
                 dense_degree=dense_degree,
                 sender_perm=sender_perm, sender_degree=sender_degree,
+                sender_inv=sender_inv,
             )
 
         node_rep = node_rep + drop0(hidden_residual, deterministic)
@@ -224,6 +228,7 @@ class GCPInteractions(nn.Module):
         nf_ff = node_mean_frames(
             frames, senders, num_nodes, ff_edge_mask, ff_count_mask,
             sender_perm=sender_perm, sender_degree=sender_degree,
+            sender_inv=sender_inv,
         )
 
         hidden_residual = node_rep
@@ -264,6 +269,7 @@ class GCPInteractions(nn.Module):
             nf_pos = node_mean_frames(
                 frames, senders, num_nodes, frame_mask, count_mask,
                 sender_perm=sender_perm, sender_degree=sender_degree,
+                sender_inv=sender_inv,
             )
         x_update = self._derive_x_update(
             node_rep, senders, receivers, frames,
@@ -271,6 +277,7 @@ class GCPInteractions(nn.Module):
             force_mask=agg_mask, node_frames=nf_pos,
             dense_degree=dense_degree,
             sender_perm=sender_perm, sender_degree=sender_degree,
+            sender_inv=sender_inv,
         )
         node_pos = node_pos + x_update
         return node_rep, node_pos
@@ -288,6 +295,7 @@ class GCPInteractions(nn.Module):
         dense_degree: Optional[int] = None,
         sender_perm: Optional[Array] = None,
         sender_degree: Optional[int] = None,
+        sender_inv: Optional[Array] = None,
     ) -> Array:
         """Equivariant position update head (gcpnet.py:1118-1158).
 
@@ -387,6 +395,7 @@ class GCPInteractions2(nn.Module):
         dense_degree: Optional[int] = None,
         sender_perm: Optional[Array] = None,
         sender_degree: Optional[int] = None,
+        sender_inv: Optional[Array] = None,
     ):
         node_rep = ScalarVector(*node_rep)
         edge_rep = ScalarVector(*edge_rep)
@@ -424,6 +433,7 @@ class GCPInteractions2(nn.Module):
             count_mask=count_mask, row_splits=row_splits,
             dense_degree=dense_degree,
             sender_perm=sender_perm, sender_degree=sender_degree,
+            sender_inv=sender_inv,
         )
         # concat aggregated messages with the current node rep
         # (gcpnet.py:1414-1415)
@@ -474,6 +484,7 @@ class GCPInteractions2(nn.Module):
         nf = node_mean_frames(
             frames, senders, num_nodes2, frame_mask, count_mask,
             sender_perm=sender_perm, sender_degree=sender_degree,
+            sender_inv=sender_inv,
         )
         for module in ff_stack:
             hidden_residual = module(

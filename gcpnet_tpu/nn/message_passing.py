@@ -20,7 +20,13 @@ from gcpnet_tpu.config.schema import LayerCfg, ModuleCfg
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.primitives import ScalarVector
 from gcpnet_tpu.ops.pallas_fused import fused_enabled
-from gcpnet_tpu.ops.segment import gather_by_senders, segment_mean, segment_sum
+from gcpnet_tpu.ops.segment import (
+    gather_by_senders,
+    segment_mean,
+    segment_sum,
+    sender_mean,
+    sender_sum,
+)
 
 Array = jax.Array
 
@@ -297,6 +303,7 @@ class GCPMessagePassing(nn.Module):
         dense_degree: Optional[int] = None,
         sender_perm: Optional[Array] = None,
         sender_degree: Optional[int] = None,
+        sender_inv: Optional[Array] = None,
     ) -> ScalarVector:
         """``edge_mask`` gates the final message aggregation (padding-level);
         ``frame_mask`` (defaults to ``edge_mask``) gates the scalarize/
@@ -416,13 +423,18 @@ class GCPMessagePassing(nn.Module):
         ids = senders if self.aggregate_with_row else receivers
         rs = None if self.aggregate_with_row else row_splits
         # the dense layout is keyed by receiver; sender-side aggregation
-        # falls back to the scatter path (and dense reductions need the
-        # mask to zero padding slots)
+        # rides the sender-dense perm when the batch carries one (EQ/AR,
+        # aggregate_with_row — scatter-free in both directions with the
+        # inverse perm), else falls back to the scatter path (and dense
+        # reductions need the mask to zero padding slots)
         dd = (
             None
             if (self.aggregate_with_row or edge_mask is None)
             else dense_degree
         )
+        sp = sd = None
+        if self.aggregate_with_row and sender_perm is not None:
+            sp, sd = sender_perm, sender_degree
         if self.reduce_function not in ("mean", "sum", "add"):
             raise ValueError(f"unknown reduce_function {self.reduce_function!r}")
 
@@ -444,11 +456,24 @@ class GCPMessagePassing(nn.Module):
                 residual = ScalarVector(residual.scalar * attn, residual.vector)
             flat = residual.flatten()
         # receiver-sorted layouts ride the Pallas MXU segment kernel;
-        # the dense layout rides the [N, K, C] axis-1 reduction
+        # the dense layout rides the [N, K, C] axis-1 reduction; the
+        # sender-keyed path rides the sender-dense perm when present
         if self.reduce_function == "mean":
-            agg = segment_mean(
-                flat, ids, num_nodes, mask=edge_mask,
-                count_mask=count_mask, row_splits=rs, dense_degree=dd,
+            if sp is not None:
+                agg = sender_mean(
+                    flat, ids, num_nodes, mask=edge_mask,
+                    count_mask=count_mask, sender_perm=sp, out_degree=sd,
+                    inv_perm=sender_inv,
+                )
+            else:
+                agg = segment_mean(
+                    flat, ids, num_nodes, mask=edge_mask,
+                    count_mask=count_mask, row_splits=rs, dense_degree=dd,
+                )
+        elif sp is not None:
+            agg = sender_sum(
+                flat, ids, num_nodes, mask=edge_mask, sender_perm=sp,
+                out_degree=sd, inv_perm=sender_inv,
             )
         else:
             agg = segment_sum(

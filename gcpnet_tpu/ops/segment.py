@@ -238,6 +238,71 @@ def gather_by_senders(
     )
 
 
+@jax.custom_vjp
+def _edge_rows_to_slots(data: Array, sender_perm: Array, inv_perm: Array):
+    """``data[sender_perm]`` with padding slots zeroed — and a SCATTER-FREE
+    backward: sender_perm places every real edge row in exactly one slot,
+    so the scatter the plain gather's VJP would emit is a permutation, and
+    the inverse permutation turns it into a gather
+    (``g_data[e] = g_slots[inv_perm[e]]``, zero for padding edges)."""
+    valid = (sender_perm >= 0).astype(data.dtype)
+    rows = data[jnp.maximum(sender_perm, 0)]
+    return rows * valid.reshape(valid.shape + (1,) * (data.ndim - 1))
+
+
+def _erts_fwd(data, sender_perm, inv_perm):
+    return _edge_rows_to_slots(data, sender_perm, inv_perm), inv_perm
+
+
+def _erts_bwd(inv_perm, g):
+    valid = (inv_perm >= 0).astype(g.dtype)
+    g_data = g[jnp.maximum(inv_perm, 0)]
+    g_data = g_data * valid.reshape(valid.shape + (1,) * (g.ndim - 1))
+    return g_data, None, None
+
+
+_edge_rows_to_slots.defvjp(_erts_fwd, _erts_bwd)
+
+
+def _slot_rows(
+    data: Array,
+    sender_perm: Array,
+    inv_perm: Optional[Array],
+) -> Array:
+    """Edge rows re-laid into the SLOT-MAJOR sender-dense layout
+    (``[K_out*N, ...]``; padding slots zero).  With ``inv_perm`` the
+    backward is an inverse-permutation gather; without it, the plain
+    gather's VJP emits an XLA scatter-add into the edge rows (row-serial
+    on TPU — fine when nothing upstream needs gradients, e.g. frames)."""
+    sender_perm = jnp.asarray(sender_perm)
+    data = jnp.asarray(data)
+    if inv_perm is not None:
+        return _edge_rows_to_slots(data, sender_perm, jnp.asarray(inv_perm))
+    valid = (sender_perm >= 0).astype(data.dtype)
+    rows = data[jnp.maximum(sender_perm, 0)]
+    return rows * valid.reshape(valid.shape + (1,) * (data.ndim - 1))
+
+
+def sender_sum(
+    data: Array,
+    senders: Array,
+    num_nodes: int,
+    mask: Optional[Array] = None,
+    sender_perm: Optional[Array] = None,
+    out_degree: Optional[int] = None,
+    inv_perm: Optional[Array] = None,
+) -> Array:
+    """Masked sum of edge rows keyed by ``senders`` (segment_sum over the
+    source index), scatter-free in both directions when the sender-dense
+    perm (+ inverse) is available: a slot gather + ``[K_out, N, C]`` axis-0
+    sum forward, an inverse-permutation gather backward.  Summation order
+    differs from the scatter path only by float associativity."""
+    if sender_perm is None or out_degree is None:
+        return segment_sum(data, senders, num_nodes, mask=mask)
+    rows = _slot_rows(_apply_mask(jnp.asarray(data), mask), sender_perm, inv_perm)
+    return _dense_slot_reduce(rows, out_degree, num_nodes)
+
+
 def sender_mean(
     data: Array,
     senders: Array,
@@ -246,12 +311,15 @@ def sender_mean(
     count_mask: Optional[Array] = None,
     sender_perm: Optional[Array] = None,
     out_degree: Optional[int] = None,
+    inv_perm: Optional[Array] = None,
 ) -> Array:
     """Per-node masked mean of outgoing-edge rows (segment_mean keyed by
     ``senders``), scatter-free when the sender-dense perm is available:
     the numerator becomes a permutation gather + ``[K_out, N, C]`` axis-0
-    sum.  Same ``mask``/``count_mask`` semantics as segment_mean.  Summation
-    order differs from the scatter path only by float associativity.
+    sum (and with ``inv_perm`` the backward is a gather too — see
+    sender_sum).  Same ``mask``/``count_mask`` semantics as segment_mean.
+    Summation order differs from the scatter path only by float
+    associativity.
     """
     if sender_perm is None or out_degree is None:
         return segment_mean(
@@ -259,18 +327,13 @@ def sender_mean(
             mask=mask, count_mask=count_mask,
         )
     sender_perm = jnp.asarray(sender_perm)
-    idx = jnp.maximum(sender_perm, 0)
-    valid = sender_perm >= 0
-    num_mask = (
-        valid
-        if mask is None
-        else (valid & jnp.asarray(mask)[idx].astype(bool))
-    )
-    data = jnp.asarray(data)
-    rows = data[idx] * num_mask.astype(data.dtype)[:, None]
-    total = rows.reshape((out_degree, num_nodes) + data.shape[1:]).sum(axis=0)
+    data = _apply_mask(jnp.asarray(data), mask)
+    rows = _slot_rows(data, sender_perm, inv_perm)
+    total = _dense_slot_reduce(rows, out_degree, num_nodes)
     if count_mask is None:
         count_mask = mask
+    valid = sender_perm >= 0
+    idx = jnp.maximum(sender_perm, 0)
     cm = (
         valid
         if count_mask is None

@@ -154,12 +154,48 @@ def categorize(name):
     return "other"
 
 
+# control-flow wrapper ops CONTAIN their body iterations, which the trace
+# also reports individually — counting both double-books ~half the plane
+_WRAPPER_RX = re.compile(r"^%?(while|conditional)[.\d]*\s*=")
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+    "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+}
+_SHAPE_RX = re.compile(r"\b(f64|f32|bf16|f16|s64|u64|s32|u32|s16|u16|s8|u8|pred)\[([\d,]*)\]")
+
+
+def output_bytes(op: str) -> int:
+    """Estimated OUTPUT bytes of an op from the shapes printed before the
+    opcode (tuple outputs sum their elements).  Operand shapes appear after
+    the '(' so only the prefix is scanned."""
+    cut = op.find(" = ")
+    head = op[cut + 3:] if cut >= 0 else op
+    paren = re.search(r"\s[\w\-]+\(", head)
+    head = head[: paren.start()] if paren else head
+    total = 0
+    for dt, dims in _SHAPE_RX.findall(head):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--line", default="XLA Ops",
                     help="which device-plane line to aggregate")
+    ap.add_argument("--iters", type=int, default=1,
+                    help="divide times by N (e.g. the fori_loop trip count) "
+                         "to report per-step costs")
+    ap.add_argument("--keep-wrappers", action="store_true",
+                    help="keep while/conditional wrapper ops (their body "
+                         "iterations are also counted individually, so "
+                         "totals double-book)")
     args = ap.parse_args()
 
     pbs = sorted(
@@ -183,22 +219,36 @@ def main():
             by_op = collections.Counter()
             occ = collections.Counter()
             for mid, dur, _ in line["events"]:
-                by_op[names.get(mid, f"#{mid}")] += dur
-                occ[names.get(mid, f"#{mid}")] += 1
+                op = names.get(mid, f"#{mid}")
+                if not args.keep_wrappers and _WRAPPER_RX.match(op):
+                    continue
+                by_op[op] += dur
+                occ[op] += 1
             total = sum(by_op.values())
             if not total:
                 continue
+            it = max(args.iters, 1)
             print(f"== plane '{plane['name']}' line '{line['name']}' "
-                  f"total {total/1e9:.3f} ms ==")
+                  f"total {total/1e9/it:.3f} ms"
+                  + (f" PER STEP (/{it})" if it > 1 else "") + " ==")
             by_cat = collections.Counter()
+            cat_bytes = collections.Counter()
             for op, d in by_op.items():
-                by_cat[categorize(op)] += d
-            print("\n-- by category --")
+                cat = categorize(op)
+                by_cat[cat] += d
+                cat_bytes[cat] += output_bytes(op) * occ[op]
+            print("\n-- by category (time | output bytes | implied write GB/s) --")
             for cat, d in by_cat.most_common():
-                print(f"{d/total*100:6.2f}%  {d/1e9:9.3f} ms  {cat}")
+                gbs = cat_bytes[cat] / (d / 1e12) / 1e9 if d else 0.0
+                print(f"{d/total*100:6.2f}%  {d/1e9/it:9.3f} ms  "
+                      f"{cat_bytes[cat]/1e6/it:9.1f} MB  {gbs:7.1f} GB/s  {cat}")
+            tot_bytes = sum(cat_bytes.values())
+            print(f"\ntotal output bytes: {tot_bytes/1e6/it:.1f} MB"
+                  + (" per step" if it > 1 else ""))
             print(f"\n-- top {args.top} ops --")
             for op, d in by_op.most_common(args.top):
-                print(f"{d/total*100:6.2f}%  {d/1e9:9.3f} ms  x{occ[op]:<5d} {op[:110]}")
+                print(f"{d/total*100:6.2f}%  {d/1e9/it:9.3f} ms  x{occ[op]:<5d}"
+                      f" {output_bytes(op)/1e6:8.1f} MB  {op[:100]}")
             print()
 
 
