@@ -31,7 +31,10 @@ BASELINE_IS_ESTIMATE = True
 
 NODES_PER_GRAPH = 448
 EDGES_PER_GRAPH = 28 * 448
-GRAPHS_PER_BATCH = 16
+# batch size is env-overridable for the batch-frontier scan
+# (BENCH_GRAPHS=32 BENCH_REMAT=1 python bench.py); the default stays the
+# production 16 until a larger batch wins the scan
+GRAPHS_PER_BATCH = int(os.environ.get("BENCH_GRAPHS", "16"))
 # edge-budget slack for the 128-edge tile alignment of the sorted layout
 # (identical budget for every variant so the comparison is fair)
 EDGE_SLACK = 64 * 128
@@ -303,6 +306,12 @@ def flops_only(variant: str) -> None:
     print(json.dumps({"flops": flops, "f1": f1, "f2": f2}))
 
 
+def _timed_fetch(fn, *args) -> float:
+    t0 = time.perf_counter()
+    float(fn(*args))  # fetch = hard sync
+    return time.perf_counter() - t0
+
+
 def run_variant(variant: str) -> dict:
     import jax
     import jax.numpy as jnp
@@ -357,6 +366,16 @@ def run_variant(variant: str) -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # pure dispatch round-trip: a trivial executable with scalar args —
+    # isolates tunnel/runtime latency from anything this codebase does, so
+    # dispatch_overhead_ms (below) can be attributed (tunnel vs code)
+    tiny = jax.jit(lambda a, b: a + b)
+    ta, tb = jnp.float32(1.0), jnp.float32(2.0)
+    float(tiny(ta, tb))  # compile + warm
+    null_dispatch = min(
+        _timed_fetch(tiny, ta, tb) for _ in range(10)
+    )
+
     t_small = timed(k_small)
     # optional op-level trace of the measured executable itself (reuses the
     # cached fori-loop program — cheap even when fresh compiles are slow):
@@ -384,6 +403,7 @@ def run_variant(variant: str) -> dict:
         "variant": variant,
         "ms_per_step": round(step_time * 1e3, 3),
         "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
+        "null_dispatch_ms": round(null_dispatch * 1e3, 1),
         "flops_per_step": flops_per_step,
         "achieved_tflops": round(achieved / 1e12, 3),
         "mfu_vs_bf16_peak": round(achieved / peak, 5),

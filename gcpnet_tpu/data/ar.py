@@ -414,14 +414,22 @@ class ARDataModule:
             num_graphs=self.batch_size,
         )
 
-    def _sender_budget(self) -> int:
+    def _sender_budget(self) -> Optional[int]:
         """Max OUT-degree bound of the hybrid-kNN graph: each center i picks
         k_max nearest plus the < k_min sequential window (2*(k_min-1)
         neighbors), so out-degree <= k_max + 2*k_min — a sender-dense perm
         (scatter-free sender-keyed aggregation, aggregate_with_row) fits in
         exactly the bucket's per-node edge budget.  IN-degree is unbounded
         (a hub atom can be in many centers' kNN lists), so the
-        receiver-dense layout does not apply."""
+        receiver-dense layout does not apply.
+
+        OFF by default: the sender-dense layout was MEASURED slower than
+        plain XLA scatter on v5e at EQ/AR shapes (padding-slot HBM
+        traffic > the scatters removed — scripts/bench_eq_step.py,
+        RESULTS.md round-4 sender-dense section).  GCPNET_AR_DENSE=1
+        re-enables."""
+        if os.environ.get("GCPNET_AR_DENSE", "") not in ("1", "true"):
+            return None
         return self.k_max + 2 * self.k_min
 
     def batches(

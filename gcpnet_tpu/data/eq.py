@@ -304,15 +304,23 @@ class EQDataModule:
         )
 
     def _dense_budgets(self):
-        """DENSE fixed-degree layout budgets: the radius-graph featurizer
-        caps IN-degree at max_neighbors, so the receiver-dense layout fits
-        exactly in the bucket's n*max_neighbors edge budget; out-degree is
-        uncapped but physically bounded by atom packing within the 4.5 A
-        cutoff — budget 2x the in-cap (same rationale as the ATOM3D
-        datamodule).  The CA-only mode overrides the featurizer's cap
-        internally (cutoff 8.0, cap 128), so the datamodule-level budget
-        would be wrong there — keep the edge-list layout."""
-        if self.subset_to_ca:
+        """DENSE fixed-degree layout budgets — OFF by default for EQ.
+
+        The EQ trunk aggregates by SENDER (aggregate_with_row), whose
+        degree the featurizer does not cap; covering the out-degree tail
+        (max ~1.75x mean) forces padding slots whose HBM traffic was
+        MEASURED to cost more than the XLA scatters it removes: on one
+        v5e at EQ bench scale (scripts/bench_eq_step.py, 8k nodes/262k
+        edges, 5 GCPInteractions2 layers) plain scatter runs 133.4
+        ms/step vs 186.8 dense at out-budget 64 and 167.1 at 52.  The
+        machinery stays for bounded-out-degree graph families
+        (GCPNET_EQ_DENSE=1 re-enables: receiver budget = the featurizer
+        in-cap, sender budget 2x).  The CA-only mode overrides the
+        featurizer's cap internally (cutoff 8.0, cap 128), so the
+        datamodule-level budget would be wrong there regardless."""
+        if self.subset_to_ca or os.environ.get("GCPNET_EQ_DENSE", "") not in (
+            "1", "true",
+        ):
             return None, None
         return self.max_neighbors, 2 * self.max_neighbors
 

@@ -37,7 +37,10 @@ NODES = 2048            # ~256-residue all-atom decoy
 GRAPHS = 4
 ESM_DIM = 1280
 IN_DEG_CAP = 32         # featurize_decoy max_neighbors (data/eq.py)
-DENSE_OUT = 64          # out-degree budget: 2x the in-cap (data/eq.py)
+# out-degree budget (overridable: padding slots cost HBM bandwidth
+# linearly, so budget sensitivity decides whether the sender-dense
+# layout can win at all)
+DENSE_OUT = int(os.environ.get("BENCH_EQ_OUT", "64"))
 ATOMS_PER_RES = 8
 K_SMALL, K_BIG = 5, 25
 REPEATS = 3
