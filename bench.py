@@ -53,8 +53,10 @@ VARIANT = os.environ.get("BENCH_VARIANT", "dense")
 DENSE_DEGREE = 32
 # sender-dense slot budget (max out-degree) for the scatter-free backward
 # of sender gathers (ops/segment.py gather_by_senders); out-degree is
-# uncapped by the featurizer, so budget ~2x the in-degree cap
-DENSE_OUT_DEGREE = 64
+# uncapped by the featurizer, so budget ~2x the in-degree cap.
+# BENCH_OUT=0 disables the sender perm entirely (gather backwards fall
+# back to XLA scatter-add) — the padding-slot traffic vs scatter A/B.
+DENSE_OUT_DEGREE = int(os.environ.get("BENCH_OUT", "64")) or None
 # Timing protocol: K train steps run inside ONE executable (lax.fori_loop)
 # and the loss is fetched to the host (a hard sync even on remote-tunneled
 # backends where block_until_ready under-reports).  Differencing two loop
@@ -119,7 +121,7 @@ def _flops_subprocess(variant: str) -> float:
     remat = int(os.environ.get("BENCH_REMAT", "") in ("1", "true"))
     key = (
         f"{variant}:g{fused}:r{remat}:{NODES_PER_GRAPH}:{EDGES_PER_GRAPH}"
-        f":{GRAPHS_PER_BATCH}"
+        f":{GRAPHS_PER_BATCH}:o{DENSE_OUT_DEGREE or 0}"
     )
     if key in cache:
         return float(cache[key])

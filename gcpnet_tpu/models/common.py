@@ -215,7 +215,12 @@ class GCPNetEncoder(nn.Module):
                 sender_inv=sinv,
             )
 
-        run = nn.remat(run_layer, prevent_cse=False) if self.remat else run_layer
+        # prevent_cse=True is REQUIRED on the unrolled path: with CSE
+        # allowed, XLA merges the rematerialized forward back into the
+        # stored one and remat becomes a measured no-op (identical step
+        # time and +0.15% flops on the r4 bench).  The scanned path keeps
+        # prevent_cse=False (safe under lax.scan, cheaper).
+        run = nn.remat(run_layer, prevent_cse=True) if self.remat else run_layer
 
         layer_kwargs = dict(
             node_dims=node_dims,

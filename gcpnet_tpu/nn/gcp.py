@@ -85,14 +85,6 @@ def _mm(x: Array, kernel: Array) -> Array:
     )
 
 
-def _mm_f32(x: Array, kernel: Array) -> Array:
-    """Matmul returning the raw f32 accumulator (no round-trip through the
-    activation dtype).  Used where one logical contraction is split into
-    partial products: summing the partials in f32 and casting ONCE matches
-    the single-matmul numerics exactly."""
-    return jnp.dot(x, kernel, preferred_element_type=jnp.float32)
-
-
 class Dense(nn.Module):
     """nn.Dense with torch-style init."""
 
@@ -518,21 +510,29 @@ class GCP2(nn.Module):
             w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
             big_k = jnp.concatenate([w_so_mm, w_so_mm @ w_g], axis=1)
             big_b = jnp.concatenate([b_so, b_so @ w_g + b_g])
-            # both partial products stay in the f32 accumulator and are
-            # rounded ONCE after the add — same numerics as the unsplit
-            # single-matmul contraction (advisor r3 finding)
+            # each partial product rounds ONCE to the activation dtype (the
+            # MXU accumulates each matmul in f32 internally), then the two
+            # partials add in that dtype.  Keeping the partials in f32 until
+            # after the add (tried, r4) matches the unsplit single-matmul
+            # numerics exactly but materializes f32[E, s_out+v_out] HBM
+            # intermediates — measured 13.2 ms/step of pure bandwidth on the
+            # production bench.  The split therefore differs from the
+            # unsplit contraction by one bf16 rounding per partial; parity
+            # is within test tolerances (tests/test_fused_gcp.py), not
+            # bitwise.
             out = (
-                _mm_f32(scalar_rep, big_k[:s_in].astype(dt))
-                + _mm_f32(vp, big_k[s_in:].astype(dt))
-                + big_b.astype(jnp.float32)
-            ).astype(dt)
+                _mm(scalar_rep, big_k[:s_in].astype(dt))
+                + _mm(vp, big_k[s_in:].astype(dt))
+                + big_b.astype(dt)
+            )
             s_new, gate = out[:, :s_out], out[:, s_out:]
         else:
+            # same split-rounding trade as the fold_gate branch above
             s_new = (
-                _mm_f32(scalar_rep, w_so_mm[:s_in].astype(dt))
-                + _mm_f32(vp, w_so_mm[s_in:].astype(dt))
-                + b_so.astype(jnp.float32)
-            ).astype(dt)
+                _mm(scalar_rep, w_so_mm[:s_in].astype(dt))
+                + _mm(vp, w_so_mm[s_in:].astype(dt))
+                + b_so.astype(dt)
+            )
 
         vu = _mm(vh, blockdiag3(w_up).astype(dt))
         if st.vector_residual:
