@@ -183,6 +183,19 @@ def output_bytes(op: str) -> int:
     return total
 
 
+def find_xplane(trace_dir):
+    """Newest *.xplane.pb under a jax.profiler trace directory."""
+    pbs = sorted(
+        glob.glob(
+            os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+        ),
+        key=os.path.getmtime,
+    )
+    if not pbs:
+        sys.exit(f"no .xplane.pb under {trace_dir}")
+    return pbs[-1]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
@@ -198,15 +211,7 @@ def main():
                          "totals double-book)")
     args = ap.parse_args()
 
-    pbs = sorted(
-        glob.glob(
-            os.path.join(args.trace_dir, "**", "*.xplane.pb"), recursive=True
-        ),
-        key=os.path.getmtime,
-    )
-    if not pbs:
-        sys.exit(f"no .xplane.pb under {args.trace_dir}")
-    path = pbs[-1]
+    path = find_xplane(args.trace_dir)
     print(f"# {path}\n")
     planes = parse_xspace(path)
     for plane in planes:
