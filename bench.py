@@ -66,6 +66,15 @@ K_SMALL = 5
 K_BIG = 25
 MEASURE_REPEATS = 3  # take the best repeat: dispatch jitter is one-sided
 
+
+def _remat_mode():
+    v = os.environ.get("BENCH_REMAT", "")
+    if v in ("1", "true"):
+        return True
+    if v == "dots":
+        return "dots"
+    return False
+
 # peak bf16 matmul TFLOP/s per chip by device kind (public figures)
 PEAK_BF16_FLOPS = {
     "v4": 275e12,
@@ -118,7 +127,8 @@ def _flops_subprocess(variant: str) -> float:
     # key carries the fused-GCP state: "dense" flipped from unfused (r3
     # control, 1.445 TF) to fused (1.874 TF) when the default changed
     fused = int(variant in ("dense", "densegcp"))
-    remat = int(os.environ.get("BENCH_REMAT", "") in ("1", "true"))
+    mode = _remat_mode()
+    remat = {False: 0, True: 1, "dots": "d"}[mode]
     key = (
         f"{variant}:g{fused}:r{remat}:{NODES_PER_GRAPH}:{EDGES_PER_GRAPH}"
         f":{GRAPHS_PER_BATCH}:o{DENSE_OUT_DEGREE or 0}"
@@ -253,10 +263,11 @@ def _build(variant: str, num_encoder_layers: int = 8):
         module_cfg=ModuleCfg(),
         layer_cfg=LayerCfg(mp_cfg=MPCfg(num_message_layers=8)),
         num_atom_types=9,
-        # BENCH_REMAT=1: rematerialize each interaction layer in backward —
-        # trades recompute FLOPs for HBM activation traffic (the profile
-        # shows the step is DMA-bound)
-        remat=os.environ.get("BENCH_REMAT", "") in ("1", "true"),
+        # BENCH_REMAT=1: full per-layer remat (measured loss: +34% flops,
+        # 291 ms/step at batch 16).  BENCH_REMAT=dots: policy remat saving
+        # only dot outputs — recomputes the elementwise chains that
+        # dominate the HBM traffic, no matmul recompute.
+        remat=_remat_mode(),
     )
 
     mesh = make_mesh(jax.devices()[:1])

@@ -7,7 +7,7 @@ The padded-graph masks are derived once per forward and threaded through.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -158,9 +158,24 @@ class GCPNetEncoder(nn.Module):
     embedding_pre_norm: bool = True
     embedding_nonlinearities: Optional[Tuple[Optional[str], Optional[str]]] = None
     # rematerialize each interaction layer in the backward pass: trades
-    # recompute FLOPs for HBM activation traffic (often a win for this
-    # bandwidth-bound stack; set per-experiment via model_cfg)
-    remat: bool = False
+    # recompute FLOPs for HBM activation traffic.  False = store all
+    # activations; True = full per-layer remat (measured +34% flops,
+    # 291 ms/step at batch 16 — a loss); "dots" = policy remat saving
+    # only dot_general outputs (jax.checkpoint_policies.dots_saveable):
+    # the elementwise/dropout/norm chains that dominate the step's HBM
+    # traffic are recomputed from the saved matmul outputs in backward,
+    # with NO matmul recompute.
+    remat: Union[bool, str] = False
+
+    def _remat_policy(self):
+        if self.remat == "dots":
+            return jax.checkpoint_policies.dots_saveable
+        if isinstance(self.remat, str):
+            raise ValueError(
+                f"unknown remat policy {self.remat!r}; use False, True, "
+                "or 'dots'"
+            )
+        return None
 
     @nn.compact
     def __call__(
@@ -220,7 +235,13 @@ class GCPNetEncoder(nn.Module):
         # stored one and remat becomes a measured no-op (identical step
         # time and +0.15% flops on the r4 bench).  The scanned path keeps
         # prevent_cse=False (safe under lax.scan, cheaper).
-        run = nn.remat(run_layer, prevent_cse=True) if self.remat else run_layer
+        run = (
+            nn.remat(
+                run_layer, prevent_cse=True, policy=self._remat_policy()
+            )
+            if self.remat
+            else run_layer
+        )
 
         layer_kwargs = dict(
             node_dims=node_dims,
@@ -346,7 +367,9 @@ class GCPNetEncoder(nn.Module):
 
         if self.remat:
             # deterministic stays static (closed over, never an argument)
-            body = jax.checkpoint(body, prevent_cse=False)
+            body = jax.checkpoint(
+                body, prevent_cse=False, policy=self._remat_policy()
+            )
 
         (node_rep, node_pos), _ = jax.lax.scan(
             body, (node_rep, node_pos), (stacked, keys)

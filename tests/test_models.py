@@ -101,10 +101,12 @@ def test_lba_model():
 
 
 @pytest.mark.heavy  # two extra whole-model compiles
-def test_lba_model_remat_matches_plain():
-    """remat=True must (a) not crash on the static `deterministic` flag
+@pytest.mark.parametrize("remat_mode", [True, "dots"])
+def test_lba_model_remat_matches_plain(remat_mode):
+    """remat must (a) not crash on the static `deterministic` flag
     (ADVICE r2) and (b) produce identical losses/grads to the plain path,
-    including with dropout active."""
+    including with dropout active — for both full remat and the
+    dots_saveable policy (save matmul outputs, recompute elementwise)."""
     graphs = [
         random_graph(20, 60, 0, 2, 16, 1, int_h=True,
                      extras={"label": np.float32(1.5)})
@@ -126,7 +128,7 @@ def test_lba_model_remat_matches_plain():
             remat=remat,
         )
 
-    plain, rem = build(False), build(True)
+    plain, rem = build(False), build(remat_mode)
     params = jax.jit(plain.init, static_argnums=(2,))(
         jax.random.key(0), batch, True
     )
