@@ -162,6 +162,11 @@ def main():
                     default=PEAK_HBM_GBPS_DEFAULT)
     ap.add_argument("--peak-tflops", type=float,
                     default=PEAK_BF16_TFLOPS_DEFAULT)
+    ap.add_argument("--write-floor", metavar="CONFIG_KEY", default=None,
+                    help="record this trace's HBM GB/step under the given "
+                         "bench config key (bench.py _config_key) in "
+                         "scripts/roofline_floor.json — the anchor for "
+                         "bench.py's vs_baseline")
     args = ap.parse_args()
 
     path = find_xplane(args.trace_dir)
@@ -211,6 +216,31 @@ def main():
     print(f"busy time / floor      : {tot_dur/max(floor,1e-12):10.2f}x  "
           f"(schedule efficiency {100*floor/max(tot_dur,1e-12):.0f}%)")
     print()
+    if args.write_floor:
+        import datetime
+        import json
+
+        floor_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "roofline_floor.json",
+        )
+        try:
+            with open(floor_path) as f:
+                table = json.load(f)
+        except Exception:
+            table = {"hbm_gb_per_step": {}, "provenance": {}}
+        table["hbm_gb_per_step"][args.write_floor] = round(hbm_gb, 3)
+        table["provenance"][args.write_floor] = {
+            "trace": path,
+            "date": datetime.date.today().isoformat(),
+            "iters": it,
+            "busy_ms": round(tot_dur * 1e3, 2),
+        }
+        with open(floor_path, "w") as f:
+            json.dump(table, f, indent=1, sort_keys=True)
+        print(f"(wrote {hbm_gb:.3f} GB/step -> {floor_path} "
+              f"[{args.write_floor}])")
+
     print("-- by category (per step) --")
     cats = collections.defaultdict(lambda: [0.0, 0.0, 0.0])  # dur, hbm, fl
     for mid, (c, dur, fl, rd, wr, _) in agg.items():
