@@ -90,6 +90,10 @@ def _concat_for_numpy(graphs):
 
 @heavy
 def test_lba_whole_model_matches_numpy_reference():
+    # Also covers PSR: GCPNetPSR IS GCPNetLBA (identical trunk + pooled
+    # invariant head, models/lba.py; the reference's PSR module differs
+    # from LBA only in data/metrics, gcpnet_psr_module.py:161-192), so
+    # this case is the PSR whole-model golden too.
     graphs = _graphs(0, 2, 8, 1, int_h=True)
     batch = _padded_batch(graphs)
     model = GCPNetLBA(
