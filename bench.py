@@ -157,29 +157,50 @@ def _config_key(variant: str) -> str:
     )
 
 
-def _flops_subprocess(variant: str) -> float:
-    """FLOPs for one train step, cost-analyzed by XLA:CPU in a subprocess.
+# FLOPs cache committed into the repo: the figure only changes when the
+# benchmarked program changes, so it is regenerated on code change
+# (BENCH_FLOPS_ONLY=1 JAX_PLATFORMS=cpu python bench.py) and committed —
+# a fresh driver host must not pay a 10+-minute XLA:CPU cost-analysis
+# compile before the round's scoreboard line is printed (round 4 timed out
+# exactly there, BENCH_r04.json rc=124).
+FLOPS_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "scripts", "bench_flops_cache.json",
+)
+_TMP_FLOPS_CACHE = "/tmp/bench_flops_cache.json"
+# hard bound on the fallback subprocess: miss the figure rather than miss
+# the round's timing number
+FLOPS_SUBPROCESS_TIMEOUT_S = int(os.environ.get("BENCH_FLOPS_TIMEOUT", "120"))
 
-    Compiling the step a second time purely for cost analysis costs minutes
-    through the remote TPU tunnel (compilation is deferred to first
-    execution there); the HLO math is backend-independent, so the host CPU
-    compiler reports the same figure in ~1 min without touching the chip.
-    Cached per variant in /tmp (the graph only changes with code changes).
+
+def _flops_cached(key: str):
+    for path in (FLOPS_CACHE_PATH, _TMP_FLOPS_CACHE):
+        try:
+            with open(path) as f:
+                val = json.load(f).get(key)
+            if val:
+                return float(val)
+        except Exception:
+            pass
+    return None
+
+
+def _flops_subprocess(variant: str) -> float:
+    """FLOPs for one train step: committed cache, else a BOUNDED XLA:CPU
+    cost-analysis subprocess (the HLO math is backend-independent, so the
+    host CPU compiler reports the same figure without touching the chip).
+
+    Called AFTER the timing measurement; on any failure returns 0.0 and
+    the report simply omits the MFU fields.
     """
     import subprocess
 
-    cache_path = "/tmp/bench_flops_cache.json"
-    cache = {}
-    try:
-        with open(cache_path) as f:
-            cache = json.load(f)
-    except Exception:
-        pass
     # key carries the fused-GCP state: "dense" flipped from unfused (r3
     # control, 1.445 TF) to fused (1.874 TF) when the default changed
     key = _config_key(variant)
-    if key in cache:
-        return float(cache[key])
+    cached = _flops_cached(key)
+    if cached is not None:
+        return cached
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
@@ -192,19 +213,26 @@ def _flops_subprocess(variant: str) -> float:
             env=env,
             capture_output=True,
             text=True,
-            timeout=1200,
+            timeout=FLOPS_SUBPROCESS_TIMEOUT_S,
         )
         flops = float(json.loads(out.stdout.strip().splitlines()[-1])["flops"])
     except Exception:
         return 0.0
     if flops <= 0.0:
         return 0.0
-    cache[key] = flops
-    try:
-        with open(cache_path, "w") as f:
-            json.dump(cache, f)
-    except Exception:
-        pass
+    for path in (_TMP_FLOPS_CACHE, FLOPS_CACHE_PATH):
+        try:
+            cache = {}
+            try:
+                with open(path) as f:
+                    cache = json.load(f)
+            except Exception:
+                pass
+            cache[key] = flops
+            with open(path, "w") as f:
+                json.dump(cache, f)
+        except Exception:
+            pass
     return flops
 
 
@@ -378,8 +406,6 @@ def run_variant(variant: str) -> dict:
     key = jax.random.key(0)
     one = jnp.float32(1.0)
 
-    flops_per_step = _flops_subprocess(variant)
-
     trainer._build_train_step()  # defines trainer._local_step (lazy jit)
     local_step = trainer._local_step
     from jax import shard_map
@@ -448,6 +474,11 @@ def run_variant(variant: str) -> dict:
     step_time = (t_big - t_small) / (K_BIG - K_SMALL)
     dispatch_overhead = max(t_small - K_SMALL * step_time, 0.0)
     graphs_per_sec = GRAPHS_PER_BATCH / step_time
+
+    # auxiliary stages run AFTER the timing result exists and are bounded:
+    # a cache miss costs at most FLOPS_SUBPROCESS_TIMEOUT_S and downgrades
+    # the report (MFU fields omitted) instead of killing it
+    flops_per_step = _flops_subprocess(variant)
     peak = _peak_flops(jax.devices()[0])
     achieved = flops_per_step / step_time if flops_per_step else 0.0
 
@@ -467,6 +498,15 @@ def run_variant(variant: str) -> dict:
             "baseline": "a100_throughput_estimate",
             "baseline_is_estimate": BASELINE_IS_ESTIMATE,
         }
+    mfu_fields = (
+        {
+            "flops_per_step": flops_per_step,
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "mfu_vs_bf16_peak": round(achieved / peak, 5),
+        }
+        if flops_per_step
+        else {}  # cache miss + bounded-subprocess failure: skip, don't die
+    )
     return {
         "metric": "lba_train_throughput",
         "value": round(graphs_per_sec, 2),
@@ -480,9 +520,7 @@ def run_variant(variant: str) -> dict:
         "ms_per_step": round(step_time * 1e3, 3),
         "dispatch_overhead_ms": round(dispatch_overhead * 1e3, 1),
         "null_dispatch_ms": round(null_dispatch * 1e3, 1),
-        "flops_per_step": flops_per_step,
-        "achieved_tflops": round(achieved / 1e12, 3),
-        "mfu_vs_bf16_peak": round(achieved / peak, 5),
+        **mfu_fields,
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
         "precision": "bf16",
     }

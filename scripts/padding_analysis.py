@@ -46,19 +46,27 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from analyze_profile import find_xplane  # noqa: E402
-from analyze_profile import _DTYPE_BYTES, _SHAPE_RX, categorize  # noqa: E402
+from analyze_profile import (  # noqa: E402
+    _DTYPE_BYTES, _SHAPE_RX, _WRAPPER_RX, categorize,
+)
 from roofline import parse_tpu_plane  # noqa: E402
 
 
 def shape_sizes(dt: str, dims_s: str):
-    """(logical_bytes, padded_bytes) for one shape token."""
+    """(logical_bytes, padded_bytes) for one shape token.
+
+    Rank-0 is treated like rank-1 with d=1 (one 128-lane row): a
+    materialized scalar still occupies a lane-padded row in HBM, so
+    counting it as unpadded would understate tot_padded on
+    scalar-operand-heavy ops.
+    """
     s = _DTYPE_BYTES[dt]
     dims = [int(d) for d in dims_s.split(",") if d]
     logical = s
     for d in dims:
         logical *= d
     if not dims:
-        return s, s
+        return s, 128 * s
     sub = max(32 // s, 1)
     lane = -(-dims[-1] // 128) * 128
     if len(dims) == 1:
@@ -91,9 +99,11 @@ def op_shape_totals(op: str):
         if m.start() < head_end:
             olo += l
             opa += p
-        dims = m.group(2).split(",")
-        if len(dims) >= 2 and dims[-1]:
-            widths.append((int(dims[-1]), l, p))
+        dims = [d for d in m.group(2).split(",") if d]
+        # every rank buckets: rank-1 pads its only dim to 128 lanes and
+        # rank-0 occupies one lane row, so excluding them would make the
+        # histogram shares (normalized by pa) silently undercount
+        widths.append((int(dims[-1]) if dims else 1, l, p))
     return lo, pa, olo, opa, widths
 
 
@@ -106,14 +116,18 @@ def main():
 
     path = find_xplane(args.trace_dir)
     events_by_line, meta = parse_tpu_plane(path)
+    if not events_by_line:
+        sys.exit(f"no TPU event lines in {path} — wrong or empty trace dir?")
     events = events_by_line.get("XLA Ops") or max(
         events_by_line.values(), key=len)
 
     agg = collections.defaultdict(lambda: [0, 0, 0])  # count, dur, hbm
     for mid, dur in events:
         info = meta.get(mid)
-        if info is None or info["name"].startswith(
-                ("%while", "%conditional")):
+        # _WRAPPER_RX ('%' optional) keeps the while/conditional filter
+        # consistent with analyze_profile/roofline on traces that print
+        # unprefixed names
+        if info is None or _WRAPPER_RX.match(info["name"]):
             continue
         a = agg[mid]
         a[0] += 1
@@ -156,9 +170,15 @@ def main():
     print(f"profiler convention       : closest to {conv} "
           f"(meas/logical {tot_meas/max(tot_logical,1):.2f}, "
           f"meas/padded {tot_meas/max(tot_padded,1):.2f})")
-    print(f"lane-packed equivalent    : {tot_packed_equiv/1e9:9.2f} GB/step "
-          f"({100*(1-tot_packed_equiv/max(tot_meas,1)):.0f}% of measured "
-          f"traffic is tile padding if the profiler counts padded bytes)")
+    if tot_meas <= 0:
+        print("lane-packed equivalent    : n/a — this profile has no per-op "
+              "memory_access_breakdown stats (measured HBM bytes all zero); "
+              "recapture with a profiler version that records them")
+    else:
+        print(f"lane-packed equivalent    : {tot_packed_equiv/1e9:9.2f} "
+              f"GB/step ({100*(1-tot_packed_equiv/tot_meas):.0f}% of "
+              f"measured traffic is tile padding if the profiler counts "
+              f"padded bytes)")
     print()
     print("-- measured traffic by trailing-dim bucket "
           "(savable = padding share) --")

@@ -54,6 +54,30 @@ def test_nms_simulator_conservation():
     assert np.isfinite(loc).all()
 
 
+@pytest.mark.parametrize("mode", ["small", "static", "dynamic", "springs"])
+def test_nms_simulator_xla_matches_numpy(mode):
+    """The XLA lax.scan integrator (the default backend that generates the
+    headline NMS training data) must agree with the per-step numpy loop.
+
+    Both backends draw identical initial conditions from the same seeded
+    generator stream and run the same float64 leapfrog math in the same op
+    order, so agreement is bitwise at short horizons (T=600; the dynamics
+    are chaotic, so long horizons amplify any divergence — none allowed
+    here).  Regression guard for data/nms_sim.py:73 vs the reference
+    physics (synthetic_sim.py:10,153,306,466)."""
+    cfg = SimConfig.for_mode(mode)
+    out = {}
+    for backend in ("numpy", "xla"):
+        rng = np.random.default_rng(7)
+        out[backend] = simulate_batch(
+            cfg, 2, rng, T=600, sample_freq=100, backend=backend
+        )
+    for a, b, name in zip(
+        out["numpy"], out["xla"], ("loc", "vel", "edges", "charges")
+    ):
+        np.testing.assert_array_equal(a, b, err_msg=f"{mode}:{name}")
+
+
 def test_knn_graph_masked_nodes_have_no_edges():
     x = np.random.randn(10, 3)
     valid = np.ones(10, bool)
