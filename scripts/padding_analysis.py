@@ -47,18 +47,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from analyze_profile import find_xplane  # noqa: E402
 from analyze_profile import (  # noqa: E402
-    _DTYPE_BYTES, _SHAPE_RX, _WRAPPER_RX, categorize,
+    _DTYPE_BYTES, _WRAPPER_RX, categorize,
 )
 from roofline import parse_tpu_plane  # noqa: E402
 
+# shape token WITH its layout suffix as printed in TPU HLO dumps, e.g.
+#   bf16[229376,116]{0,1:T(8,128)(2,1)}      <- transposed ({0,1}): the
+#       long dim is MINOR, so lane padding hits 229376 (none), not 116
+#   f32[7168,100]{1,0:T(8,128)}              <- row-major
+#   bf16[116]{0:T(256)(128)(2,1)S(1)}        <- 1-D, alternate mem space
+_LSHAPE_RX = re.compile(
+    r"\b(f64|f32|bf16|f16|s64|u64|s32|u32|s16|u16|s8|u8|pred)"
+    r"\[([\d,]*)\](?:\{([^}]*)\})?"
+)
+_TILE_RX = re.compile(r"T?\(([\d,]+)\)")
 
-def shape_sizes(dt: str, dims_s: str):
-    """(logical_bytes, padded_bytes) for one shape token.
 
-    Rank-0 is treated like rank-1 with d=1 (one 128-lane row): a
-    materialized scalar still occupies a lane-padded row in HBM, so
-    counting it as unpadded would understate tot_padded on
-    scalar-operand-heavy ops.
+def shape_sizes(dt: str, dims_s: str, layout_s: str):
+    """(logical_bytes, physical_bytes, minor_dim) for one shape token,
+    honoring the printed layout: minor-to-major permutation + tiling.
+
+    physical_bytes pads each tiled physical dim to its tile multiple
+    (most-minor tile element -> the minor dim, etc.); for 16-bit types the
+    trailing (2,1) element-packing group doubles the second-minor tile
+    (bf16 tiles are effectively (16,128)).  Without a layout suffix the
+    token is assumed row-major with the default (8,128) tile.  Rank-0/-1
+    follow the printed 1-D tile (typically T(256) / T(1024)), so a
+    bf16[116] occupies ceil(116/256)*256 elements.
     """
     s = _DTYPE_BYTES[dt]
     dims = [int(d) for d in dims_s.split(",") if d]
@@ -66,17 +81,40 @@ def shape_sizes(dt: str, dims_s: str):
     for d in dims:
         logical *= d
     if not dims:
-        return s, 128 * s
-    sub = max(32 // s, 1)
-    lane = -(-dims[-1] // 128) * 128
-    if len(dims) == 1:
-        padded = lane * s
-    else:
-        smin = -(-dims[-2] // sub) * sub
-        padded = lane * smin * s
-        for d in dims[:-2]:
-            padded *= d
-    return logical, padded
+        return s, s, 1
+    perm = list(range(len(dims) - 1, -1, -1))
+    tiles = []
+    if layout_s:
+        head = layout_s.split(":", 1)
+        if head[0]:
+            try:
+                perm = [int(x) for x in head[0].split(",")]
+            except ValueError:
+                pass
+        if len(head) > 1:
+            tiles = [
+                [int(x) for x in g.split(",")]
+                for g in _TILE_RX.findall(head[1])
+            ]
+    if not tiles:
+        tiles = [[8, 128]] if len(dims) > 1 else [[128]]
+    tile = tiles[0]
+    # (2,1)-style packing groups for sub-32-bit types scale the
+    # second-most-minor tile element (bf16: 8 sublanes x 2 packed = 16)
+    for g in tiles[1:]:
+        if len(g) >= 2 and g[0] > 1 and len(tile) >= 2:
+            tile[-2] *= g[0]
+    # physical dims, major -> minor
+    phys = [dims[i] for i in reversed(perm)] if len(perm) == len(dims) \
+        else list(dims)
+    padded = s
+    k = len(tile)
+    for i, d in enumerate(phys):
+        t_idx = i - (len(phys) - k)
+        if t_idx >= 0:
+            d = -(-d // tile[t_idx]) * tile[t_idx]
+        padded *= d
+    return logical, padded, phys[-1] if phys else 1
 
 
 _HEAD_RX = re.compile(r"\s[\w\-]+\(")
@@ -84,26 +122,23 @@ _HEAD_RX = re.compile(r"\s[\w\-]+\(")
 
 def op_shape_totals(op: str):
     """(logical, padded, out_logical, out_padded, widths) summed over all
-    shape tokens in the op text; widths = [(trailing_dim, logical,
-    padded), ...] for rank>=2 tokens."""
+    shape tokens in the op text; widths = [(minor_physical_dim, logical,
+    padded), ...] — the dim lane padding actually applies to under the
+    printed layout, not the logical trailing dim."""
     cut = op.find(" = ")
     body = op[cut + 3:] if cut >= 0 else op
     paren = _HEAD_RX.search(body)
     head_end = paren.start() if paren else len(body)
     lo = pa = olo = opa = 0
     widths = []
-    for m in _SHAPE_RX.finditer(body):
-        l, p = shape_sizes(m.group(1), m.group(2))
+    for m in _LSHAPE_RX.finditer(body):
+        l, p, minor = shape_sizes(m.group(1), m.group(2), m.group(3) or "")
         lo += l
         pa += p
         if m.start() < head_end:
             olo += l
             opa += p
-        dims = [d for d in m.group(2).split(",") if d]
-        # every rank buckets: rank-1 pads its only dim to 128 lanes and
-        # rank-0 occupies one lane row, so excluding them would make the
-        # histogram shares (normalized by pa) silently undercount
-        widths.append((int(dims[-1]) if dims else 1, l, p))
+        widths.append((minor, l, p))
     return lo, pa, olo, opa, widths
 
 

@@ -264,6 +264,32 @@ def main():
         print(f"{gb:8.3f} GB {ms:8.3f} ms {bw:7.0f} GB/s x{c:<5d}"
               f" {categorize(nm):<14s} {nm[:90]}")
 
+    # schedule-slack attribution: per op, wasted ms = measured duration
+    # minus the op's own bandwidth floor (its HBM bytes at peak GB/s).
+    # Sorting by wasted time names the fusions to split/merge/re-lay —
+    # the ops where the chip is neither streaming nor computing.
+    print()
+    print(f"-- top {args.top} ops by schedule slack "
+          f"(ms above own HBM floor, per step) --")
+    slack_rows = []
+    for mid, (c, dur, fl, rd, wr, _) in agg.items():
+        ms = dur / it / 1e9
+        floor_ms = (rd + wr) / it / (args.peak_hbm_gbps * 1e6)
+        mxu_ms = fl / it / (args.peak_tflops * 1e9)
+        slack_rows.append(
+            (ms - max(floor_ms, mxu_ms), ms, floor_ms, mxu_ms, c, mid))
+    slack_rows.sort(key=lambda r: -r[0])
+    tot_slack = sum(max(r[0], 0.0) for r in slack_rows)
+    print(f"   (total positive slack {tot_slack:.1f} ms of "
+          f"{tot_dur*1e3:.1f} ms busy)")
+    for wasted, ms, floor_ms, mxu_ms, c, mid in slack_rows[: args.top]:
+        nm = meta[mid]["name"]
+        a = agg[mid]
+        bw = (a[3] + a[4]) / max(a[1] / 1e12, 1e-12) / 1e9
+        print(f"{wasted:8.3f} ms wasted | {ms:8.3f} ms @ {bw:6.0f} GB/s "
+              f"(hbm floor {floor_ms:6.3f}, mxu {mxu_ms:6.3f}) x{c:<5d}"
+              f" {categorize(nm):<14s} {nm[:80]}")
+
 
 if __name__ == "__main__":
     main()
