@@ -432,6 +432,18 @@ def run_variant(variant: str) -> dict:
     )
     run_k = jax.jit(mapped, donate_argnums=(0,))
 
+    # BENCH_XLA_OPTS="k=v,k=v": per-compile XLA compiler options for flag
+    # experiments (forwarded through the remote-compile tunnel and
+    # validated there; LIBTPU_INIT_ARGS is silently dropped by the tunnel)
+    xla_opts = os.environ.get("BENCH_XLA_OPTS", "")
+    if xla_opts:
+        opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
+        lowered = run_k.lower(
+            trainer.state, dev_batch, jnp.int32(K_SMALL - 1)
+        )
+        run_k = lowered.compile(compiler_options=opts)
+        print(f"compiled with {opts}", file=sys.stderr)
+
     k_small = jnp.int32(K_SMALL - 1)
     k_big = jnp.int32(K_BIG - 1)
     state = trainer.state

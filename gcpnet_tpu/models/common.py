@@ -24,6 +24,7 @@ from gcpnet_tpu.nn import (
     centralize,
     localize,
 )
+from gcpnet_tpu.nn.frames import node_mean_frames
 from gcpnet_tpu.nn.gcp import Dense, make_gcp
 from gcpnet_tpu.nn.primitives import get_nonlinearity
 from gcpnet_tpu.ops.segment import segment_mean
@@ -122,6 +123,20 @@ class InvariantPooledHead(nn.Module):
             bottleneck=1,
             vector_residual=False,
         )
+        # one frames-mean replaces the per-edge gather + scatter-mean inside
+        # the projection's scalarize (linearity fast path — the encoder does
+        # the same; profiling showed this head scatter-add among the top
+        # schedule-slack ops at ~5 ms/step on the LBA bench)
+        nf = node_mean_frames(
+            frames,
+            batch.senders,
+            node_rep.scalar.shape[0],
+            edge_mask,
+            count_mask,
+            sender_perm=batch.sender_perm,
+            sender_degree=batch.sender_out_degree,
+            sender_inv=batch.sender_inv_perm,
+        )
         out = proj(
             out,
             batch.senders,
@@ -130,6 +145,7 @@ class InvariantPooledHead(nn.Module):
             node_inputs=True,
             edge_mask=edge_mask,
             count_mask=count_mask,
+            node_frames=nf,
         )
         pooled = segment_mean(
             out, batch.graph_id, batch.num_graphs, mask=batch.valid_node_mask()

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +164,32 @@ class VecDenseParams(nn.Module):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
         return self.param("kernel", init, (self.in_features, self.features))
+
+
+@dataclasses.dataclass
+class MessageOperands:
+    """Un-concatenated operands for the FIRST message-stack GCP2
+    (project-before-gather — see ``GCP2._fused_message_split_call``).
+
+    The message input ``[src ‖ edge ‖ dst]`` is linear in each block up to
+    the first nonlinearity, so the per-sender/per-receiver weight blocks of
+    ``vector_down``/``vector_down_frames``/``scalar_out`` can be applied at
+    NODE level and only the (much narrower) projections gathered to edges.
+    On the LBA bench this shrinks the hot sender gather from 148 to ~90
+    columns and deletes the per-edge [E, 3*v_in] concat and the packed-
+    vector x/y/z splits that profiling showed running at <15% of HBM peak.
+    """
+
+    node_s: Array  # [N, ns]
+    node_v: Array  # [N, 3*nv] packed
+    edge_s: Array  # [E, es]
+    edge_v: Array  # [E, 3*ev] packed
+    node_dims: Tuple[int, int]
+    edge_dims: Tuple[int, int]
+    # [N, C] -> [E, C] sender gather (scatter-free backward when the batch
+    # carries a sender perm) and receiver map (broadcast in dense layout)
+    gather: Callable[[Array], Array]
+    broadcast_dst: Callable[[Array], Array]
 
 
 def blockdiag3(w: Array) -> Array:
@@ -338,6 +364,13 @@ class GCP2(nn.Module):
         act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
         act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
         num_entities = None
+
+        if isinstance(s_maybe_v, MessageOperands):
+            # the caller (GCPMessagePassing) only builds MessageOperands
+            # when supports_message_split() holds for this layer's settings
+            return self._fused_message_split_call(
+                s_maybe_v, frames, edge_mask
+            )
 
         if (
             (not node_inputs or node_frames is not None)
@@ -548,6 +581,161 @@ class GCP2(nn.Module):
             new_vector = vu
 
         return ScalarVector(act_s(s_new), new_vector)
+
+    def _fused_message_split_call(self, ops: MessageOperands, frames, edge_mask):
+        """Project-before-gather form of ``_fused_edge_call`` for the first
+        message-stack layer: identical math and parameter tree, but the
+        sender/receiver weight blocks of the (linear) input contractions are
+        applied at NODE level, so the per-edge sender gather moves the
+        narrow projections (``3*hidden + 9*sv + s_out [+ v_out]`` columns)
+        instead of the full ``ns + 3*nv``-wide features, and the message
+        concat ``[src ‖ edge ‖ dst]`` is never materialized.
+
+        Rounding: each src/edge/dst partial matmul rounds once to the
+        activation dtype before the adds — the same per-partial-rounding
+        trade as the split ``scalar_out`` contraction in
+        ``_fused_edge_call`` (measured there: keeping f32 partials costs
+        ~13 ms/step of pure HBM bandwidth at LBA bench scale).
+        """
+        st = self.settings
+        s_in, v_in = self.input_dims
+        s_out, v_out = self.output_dims
+        ns, nv = ops.node_dims
+        es, ev = ops.edge_dims
+        assert s_in == 2 * ns + es and v_in == 2 * nv + ev, (
+            "MessageOperands dims inconsistent with the layer's input_dims"
+        )
+        act_s = get_nonlinearity(st.scalar_nonlinearity, st.nonlinearity_slope)
+        act_v = get_nonlinearity(st.vector_nonlinearity, st.nonlinearity_slope)
+        dt = ops.node_s.dtype
+        hidden = _hidden_vec_dim(v_in, v_out, st.bottleneck)
+        sv = st.sv_dim
+
+        w_down = VecDenseParams(v_in, hidden, name="vector_down")()
+        w_df = VecDenseParams(v_in, sv, name="vector_down_frames")()
+        w_so, b_so = DenseParams(
+            s_in + hidden + 3 * sv, s_out, name="scalar_out"
+        )()
+        w_up = VecDenseParams(hidden, v_out, name="vector_up")()
+
+        s2, _, _, s3 = _scal_selectors(sv)
+        down_k = jnp.concatenate(
+            [blockdiag3(w_down), w_p1_from_df(w_df, sv)], axis=1
+        )  # [3*v_in, dw], dw = 3*hidden + 9*sv
+        dw = down_k.shape[1]
+
+        # packed xyz blocks are [src(nv) | edge(ev) | dst(nv)] per block
+        # (ScalarVector.concat), so a channel range repeats at offsets
+        # {0, v_in, 2*v_in}
+        def vrows(lo, hi):
+            return jnp.concatenate(
+                [down_k[b * v_in + lo : b * v_in + hi] for b in range(3)],
+                axis=0,
+            )
+
+        kv_src = vrows(0, nv)  # [3*nv, dw]
+        kv_edge = vrows(nv, nv + ev)  # [3*ev, dw]
+        kv_dst = vrows(nv + ev, v_in)  # [3*nv, dw]
+
+        w_so_mm = jnp.concatenate(
+            [w_so[: s_in + hidden], jnp.asarray(s3) @ w_so[s_in + hidden :]],
+            axis=0,
+        )
+        fold_gate = st.vector_gate and is_identity(st.vector_nonlinearity)
+        gate = None
+        if fold_gate:
+            w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
+            big_k = jnp.concatenate([w_so_mm, w_so_mm @ w_g], axis=1)
+            big_b = jnp.concatenate([b_so, b_so @ w_g + b_g])
+        else:
+            big_k, big_b = w_so_mm, b_so
+        ks_src = big_k[:ns]
+        ks_edge = big_k[ns : ns + es]
+        ks_dst = big_k[ns + es : s_in]
+        ks_vp = big_k[s_in :]
+
+        # node-level projections (tiny [N, *] matmuls), then ONE sender
+        # gather and one receiver map over the concatenated projections
+        p_src = jnp.concatenate(
+            [
+                _mm(ops.node_v, kv_src.astype(dt)),
+                _mm(ops.node_s, ks_src.astype(dt)),
+            ],
+            axis=-1,
+        )
+        p_dst = jnp.concatenate(
+            [
+                _mm(ops.node_v, kv_dst.astype(dt)),
+                _mm(ops.node_s, ks_dst.astype(dt)),
+            ],
+            axis=-1,
+        )
+        g_src = ops.gather(p_src)  # [E, dw + wout]
+        g_dst = ops.broadcast_dst(p_dst)
+
+        down = (
+            g_src[:, :dw]
+            + g_dst[:, :dw]
+            + _mm(ops.edge_v, kv_edge.astype(dt))
+        )
+        vh, p1 = down[:, : 3 * hidden], down[:, 3 * hidden :]
+        vnorm = safe_vec_norm(vh)
+
+        fr = frames
+        if edge_mask is not None:
+            fr = fr * edge_mask[:, None].astype(fr.dtype)
+        frp = _mm(fr.astype(dt), jnp.asarray(s2).astype(dt))
+        prod = p1 * frp
+        vp = jnp.concatenate([vnorm, prod], axis=-1)
+
+        out = (
+            g_src[:, dw:]
+            + g_dst[:, dw:]
+            + _mm(ops.edge_s, ks_edge.astype(dt))
+            + _mm(vp, ks_vp.astype(dt))
+            + big_b.astype(dt)
+        )
+        if fold_gate:
+            s_new, gate = out[:, :s_out], out[:, s_out:]
+        else:
+            s_new = out
+
+        vu = _mm(vh, blockdiag3(w_up).astype(dt))
+        # st.vector_residual is excluded by supports_message_split(): the
+        # concatenated input vector is never materialized on this path
+        if st.vector_gate:
+            if gate is None:
+                w_g, b_g = DenseParams(s_out, v_out, name="vector_out_scale")()
+                gate = _mm(act_v(s_new), w_g.astype(dt)) + b_g.astype(dt)
+            new_vector = vu * _tile3(jax.nn.sigmoid(gate))
+        elif not is_identity(st.vector_nonlinearity):
+            new_vector = vu * _tile3(act_v(safe_vec_norm(vu)))
+        else:
+            new_vector = vu
+
+        return ScalarVector(act_s(s_new), new_vector)
+
+
+def supports_message_split(settings, cls, input_dims, output_dims) -> bool:
+    """Whether the first message-stack layer can take MessageOperands
+    (the project-before-gather path).  Mirrors the ``_fused_edge_call``
+    guards plus ``vector_residual`` (whose input vector the split path
+    never materializes)."""
+    st = settings
+    if cls not in (GCP2, GCP3):
+        return False
+    if input_dims[1] <= 0 or output_dims[1] <= 0:
+        return False
+    if st.vector_residual:
+        return False
+    return not (
+        st.frame_gate
+        or st.enable_e3_equivariance
+        or st.ablate_frame_updates
+        or st.ablate_scalars
+        or st.ablate_vectors
+        or (st.feedforward_out and cls._supports_feedforward_out)
+    )
 
 
 class GCP3(GCP2):

@@ -320,31 +320,6 @@ class GCPMessagePassing(nn.Module):
         s_in, v_in = self.input_dims
         e_s, e_v = self.edge_dims
 
-        # message = [src node SV ‖ edge SV ‖ dst node SV] (gcpnet.py:907-917)
-        # gather the flattened node features ONCE per endpoint: one [N, s+3v]
-        # gather (and one backward scatter-add) instead of two each — the
-        # profile shows these gathers/scatter-adds among the top ops
-        flat_nodes = node_rep.flatten()
-        v_dim = node_rep.dims[1]
-        # with the sender-dense perm the gather's backward is a permutation
-        # gather + axis-0 sum instead of a row-serial XLA scatter-add
-        src = ScalarVector.recover(
-            gather_by_senders(flat_nodes, senders, sender_perm, sender_degree),
-            v_dim,
-        )
-        if dense_degree is not None:
-            # slot-major dense layout: receiver of edge k*N+n is node n —
-            # broadcast instead of gather (backward is an axis-0 sum, not a
-            # scatter); [K, N, C] -> [K*N, C] is a bitcast under TPU tiling
-            dst_flat = jnp.broadcast_to(
-                flat_nodes[None, :, :],
-                (dense_degree, num_nodes, flat_nodes.shape[-1]),
-            ).reshape(num_nodes * dense_degree, flat_nodes.shape[-1])
-        else:
-            dst_flat = flat_nodes[receivers]
-        dst = ScalarVector.recover(dst_flat, v_dim)
-        message = src.concat((edge_rep, dst))
-
         scalars_in = 2 * s_in + e_s
         vectors_in = 2 * v_in + e_v
 
@@ -397,6 +372,75 @@ class GCPMessagePassing(nn.Module):
 
         fm = frame_mask if frame_mask is not None else edge_mask
 
+        use_fast = (
+            fast_stack_enabled()
+            and not self.is_initializing()
+            and all(_fast_supported(spec) for spec in specs)
+        )
+
+        # project-before-gather (gcp.MessageOperands): when the first stack
+        # layer runs the fused GCP2 path, its src/dst weight blocks are
+        # applied at NODE level and only the narrow projections gathered —
+        # the full [E, 2(s+3v)+...] message concat is never materialized.
+        # Profiling (RESULTS.md round-5 slack table) showed the 148-wide
+        # sender gather, its backward slot re-lay, the [E, 3*v_in] concat
+        # and the packed x/y/z splits running at <15% of HBM peak.
+        from gcpnet_tpu.nn.gcp import (
+            MessageOperands, _GCP_CLASSES, fused_gcp_enabled,
+            supports_message_split,
+        )
+
+        split_first = (
+            fused_gcp_enabled()
+            and not use_fast
+            and v_in > 0
+            and supports_message_split(
+                _stack_settings(specs[0]),
+                _GCP_CLASSES[self.cfg.selected_gcp],
+                specs[0]["input_dims"],
+                specs[0]["output_dims"],
+            )
+        )
+
+        flat_nodes = node_rep.flatten()
+        v_dim = node_rep.dims[1]
+
+        def gather_src(arr):
+            # with the sender-dense perm the gather's backward is a
+            # permutation gather + axis-0 sum, not a row-serial scatter-add
+            return gather_by_senders(arr, senders, sender_perm, sender_degree)
+
+        def map_dst(arr):
+            if dense_degree is not None:
+                # slot-major dense layout: receiver of edge k*N+n is node n —
+                # broadcast instead of gather (backward is an axis-0 sum);
+                # [K, N, C] -> [K*N, C] is a bitcast under TPU tiling
+                return jnp.broadcast_to(
+                    arr[None, :, :],
+                    (dense_degree, num_nodes, arr.shape[-1]),
+                ).reshape(num_nodes * dense_degree, arr.shape[-1])
+            return arr[receivers]
+
+        if split_first:
+            message = MessageOperands(
+                node_s=node_rep.scalar,
+                node_v=node_rep.vector,
+                edge_s=edge_rep.scalar,
+                edge_v=edge_rep.vector,
+                node_dims=(s_in, v_in),
+                edge_dims=(e_s, e_v),
+                gather=gather_src,
+                broadcast_dst=map_dst,
+            )
+        else:
+            # message = [src node SV ‖ edge SV ‖ dst node SV]
+            # (gcpnet.py:907-917); gather the flattened node features ONCE
+            # per endpoint: one [N, s+3v] gather (and one backward
+            # scatter-add) instead of two each
+            src = ScalarVector.recover(gather_src(flat_nodes), v_dim)
+            dst = ScalarVector.recover(map_dst(flat_nodes), v_dim)
+            message = src.concat((edge_rep, dst))
+
         def run(module, rep, frm=frames, emask=fm):
             return module(
                 rep,
@@ -438,11 +482,6 @@ class GCPMessagePassing(nn.Module):
         if self.reduce_function not in ("mean", "sum", "add"):
             raise ValueError(f"unknown reduce_function {self.reduce_function!r}")
 
-        use_fast = (
-            fast_stack_enabled()
-            and not self.is_initializing()
-            and all(_fast_supported(spec) for spec in specs)
-        )
         if use_fast:
             flat = self._fast_messages(
                 specs, stack, message, frames, fm, rs, run, run_stack,
