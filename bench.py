@@ -22,7 +22,32 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+if os.environ.get("BENCH_FLOPS_ONLY"):
+    # XLA:CPU cost analysis must never touch the chip.  The axon
+    # sitecustomize registers the remote TPU backend in a way that makes
+    # the JAX_PLATFORMS=cpu *env var* a no-op (verified: jax.devices()
+    # still returns the TPU) — only the config flag actually flips the
+    # platform, exactly as tests/conftest.py does.  Round 4's bench
+    # timeout (BENCH_r04 rc=124) was this subprocess compiling the
+    # cost-analysis model through the remote tunnel, not on the host.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg: str) -> None:
+    """Stage-boundary progress marker (stderr; stdout stays one JSON line).
+
+    The driver runs bench.py under a wall-clock budget through a remote
+    tunnel whose compiles take minutes — the markers make a timeout
+    attributable to a stage instead of silent (BENCH_r04 rc=124 lesson)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 # Estimate of the PyTorch reference's A100 throughput for this model/batch
 # (the reference publishes no throughput numbers; assumes ~45 ms/step).
@@ -402,10 +427,12 @@ def run_variant(variant: str) -> dict:
     import jax
     import jax.numpy as jnp
 
+    _mark(f"building model/batch/trainer (variant={variant})")
     trainer, dev_batch = _build(variant)
     key = jax.random.key(0)
     one = jnp.float32(1.0)
 
+    _mark("build done; defining train step")
     trainer._build_train_step()  # defines trainer._local_step (lazy jit)
     local_step = trainer._local_step
     from jax import shard_map
@@ -430,27 +457,55 @@ def run_variant(variant: str) -> dict:
         out_specs=(P(), P()),
         check_vma=False,
     )
-    run_k = jax.jit(mapped, donate_argnums=(0,))
+    # AUTO input/output layouts + a single AOT compile.  With default
+    # (host row-major) input layouts, the compiler picks different
+    # layouts for the donated state OUTPUTS, so call 2 — whose inputs
+    # are call 1's outputs — triggers a SECOND full compile (~7 min cold
+    # through the remote tunnel; observed as two distinct ~40 MB
+    # jit_local persistent-cache entries).  AUTO lets XLA pick one
+    # layout fixpoint for the aliased state, and device_put below moves
+    # the initial state into exactly that layout before the first call.
+    from jax.experimental.layout import Format, Layout
 
+    run_jit = jax.jit(
+        mapped,
+        donate_argnums=(0,),
+        in_shardings=Format(Layout.AUTO),
+        out_shardings=Format(Layout.AUTO),
+    )
+
+    k_small = jnp.int32(K_SMALL - 1)
+    k_big = jnp.int32(K_BIG - 1)
+    _mark("compiling the fori-loop train executable "
+          "(minutes cold through the remote tunnel)")
+    # Layout.AUTO requires abstract args at lower time (concrete arrays
+    # carry a committed layout that conflicts with AUTO)
+    abstract = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        (trainer.state, dev_batch, k_small),
+    )
+    lowered = run_jit.lower(*abstract)
     # BENCH_XLA_OPTS="k=v,k=v": per-compile XLA compiler options for flag
     # experiments (forwarded through the remote-compile tunnel and
     # validated there; LIBTPU_INIT_ARGS is silently dropped by the tunnel)
     xla_opts = os.environ.get("BENCH_XLA_OPTS", "")
     if xla_opts:
         opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
-        lowered = run_k.lower(
-            trainer.state, dev_batch, jnp.int32(K_SMALL - 1)
-        )
         run_k = lowered.compile(compiler_options=opts)
         print(f"compiled with {opts}", file=sys.stderr)
-
-    k_small = jnp.int32(K_SMALL - 1)
-    k_big = jnp.int32(K_BIG - 1)
-    state = trainer.state
+    else:
+        run_k = lowered.compile()
+    _mark("compile done; staging state into the compiled layouts")
+    in_fmt_state = run_k.input_formats[0][0]
+    in_fmt_batch = run_k.input_formats[0][1]
+    state = jax.tree.map(jax.device_put, trainer.state, in_fmt_state)
+    dev_batch = jax.tree.map(jax.device_put, dev_batch, in_fmt_batch)
+    _mark("warming (short + long loop, no recompile)")
     state, loss = run_k(state, dev_batch, k_small)
-    float(loss)  # hard sync (compile + warm)
+    float(loss)  # hard sync
     state, loss = run_k(state, dev_batch, k_big)
     float(loss)
+    _mark("warm done; timing")
 
     def timed(k):
         nonlocal state
@@ -486,6 +541,7 @@ def run_variant(variant: str) -> dict:
     step_time = (t_big - t_small) / (K_BIG - K_SMALL)
     dispatch_overhead = max(t_small - K_SMALL * step_time, 0.0)
     graphs_per_sec = GRAPHS_PER_BATCH / step_time
+    _mark(f"timing done: {step_time * 1e3:.2f} ms/step; aux stages")
 
     # auxiliary stages run AFTER the timing result exists and are bounded:
     # a cache miss costs at most FLOPS_SUBPROCESS_TIMEOUT_S and downgrades
