@@ -55,6 +55,85 @@ def _to_bf16(tree):
     )
 
 
+class _AutoLayoutStep:
+    """AOT-compile a (state, *rest) step with AUTO state layouts.
+
+    With a plain ``jax.jit(..., donate_argnums=(0,))`` the first dispatch
+    compiles against the state's host-default layouts, but the compiler
+    is free to pick DIFFERENT layouts for the donated state outputs — so
+    dispatch 2, whose state inputs are dispatch 1's outputs, triggers a
+    SECOND full compile (measured: two distinct ~40 MB persistent-cache
+    entries and ~7 extra minutes per training session through the remote
+    tunnel; see bench.py for the same fix on the benchmark path).
+
+    This wrapper lowers on abstract avals with ``Layout.AUTO`` for the
+    state argument/output (batch/rng/lr keep their concrete shardings and
+    default layouts, so uploaded batches are consumed as-is), compiles
+    ONCE, and device_puts the incoming state into the compiled input
+    format on first use.  The first wrapped executable to compile OWNS
+    the state layout: its chosen format is recorded in the shared
+    ``owner`` dict, and later executables (e.g. the single-step tail path
+    after the scan path) pin their state input AND output to the same
+    format — state flowing between executables never changes layout, so
+    each executable compiles exactly once per batch shape.
+    """
+
+    def __init__(self, fn, owner: dict):
+        self._fn = fn
+        self._owner = owner
+        self._compiled: dict = {}
+        self._plain = None  # fallback: plain jit if AOT layout compile fails
+
+    def __call__(self, state, *rest):
+        from jax.experimental.layout import Format, Layout
+
+        if self._plain is not None:
+            return self._plain(state, *rest)
+        key = tuple(
+            (a.shape, str(a.dtype))
+            for a in jax.tree_util.tree_leaves((state,) + rest)
+        )
+        entry = self._compiled.get(key)
+        if entry is None:
+            state_fmt = self._owner.get("state_format")
+            in_state = (
+                state_fmt if state_fmt is not None else Format(Layout.AUTO)
+            )
+            rest_shardings = tuple(
+                jax.tree_util.tree_map(lambda a: a.sharding, r)
+                for r in rest
+            )
+            jf = jax.jit(
+                self._fn,
+                donate_argnums=(0,),
+                # every wrapped step returns (state, loss, gnorm)
+                in_shardings=(in_state,) + rest_shardings,
+                out_shardings=(in_state, None, None),
+            )
+            abstract = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                (state,) + rest,
+            )
+            try:
+                compiled = jf.lower(*abstract).compile()
+            except Exception as exc:  # pragma: no cover - backend-specific
+                log.warning(
+                    "AUTO-layout AOT compile failed (%s); falling back to "
+                    "plain jit (a one-time duplicate compile may occur)",
+                    exc,
+                )
+                self._plain = jax.jit(self._fn, donate_argnums=(0,))
+                return self._plain(state, *rest)
+            if state_fmt is None:
+                self._owner["state_format"] = compiled.input_formats[0][0]
+            entry = self._compiled[key] = compiled
+        fmt = self._owner.get("state_format")
+        if fmt is not None:
+            # no-op when the state already carries the fixpoint layout
+            state = jax.tree_util.tree_map(jax.device_put, state, fmt)
+        return entry(state, *rest)
+
+
 class Trainer:
     def __init__(
         self,
@@ -154,6 +233,8 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._eval_scan = None
+        # shared state-layout fixpoint across the scan/step executables
+        self._layout_owner: Dict[str, Any] = {}
         self.state: Optional[TrainState] = None
         self.history: Dict[str, list] = {}
 
@@ -256,7 +337,7 @@ class Trainer:
             check_vma=False,
         )
         self._local_step = local_step
-        return jax.jit(mapped, donate_argnums=(0,))
+        return _AutoLayoutStep(mapped, self._layout_owner)
 
     def _build_train_scan(self):
         """One jitted dispatch for a whole stack of same-shape batches:
@@ -283,7 +364,7 @@ class Trainer:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return jax.jit(mapped, donate_argnums=(0,))
+        return _AutoLayoutStep(mapped, self._layout_owner)
 
     def _build_eval_step(self):
         model = self.model

@@ -17,6 +17,15 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# Force the host CPU backend via jax.config: the axon sitecustomize makes
+# the JAX_PLATFORMS=cpu env var a no-op, and merely touching the default
+# backend (even via jax.devices("cpu")) first initializes the remote TPU
+# client, which BLOCKS while another process holds the single tunnel chip
+# — a dataset generation must never wait on (or touch) the chip.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
