@@ -190,6 +190,17 @@ class MessageOperands:
     # carries a sender perm) and receiver map (broadcast in dense layout)
     gather: Callable[[Array], Array]
     broadcast_dst: Callable[[Array], Array]
+    # fused (edge_arr [E, C], node_arr [N, C]) -> edge_arr + dst-map(node):
+    # in the dense slot-major layout this adds node rows in [K, N, C] form
+    # so the [E, C] dst broadcast is never MATERIALIZED (the round-5 trace
+    # showed 8 such [E, 170] broadcast fusions at ~111 GB/s); falls back
+    # to broadcast_dst + add when unset.
+    add_dst: Optional[Callable[[Array, Array], Array]] = None
+
+    def dst_add(self, edge_arr: Array, node_arr: Array) -> Array:
+        if self.add_dst is not None:
+            return self.add_dst(edge_arr, node_arr)
+        return edge_arr + self.broadcast_dst(node_arr)
 
 
 def blockdiag3(w: Array) -> Array:
@@ -671,12 +682,16 @@ class GCP2(nn.Module):
             axis=-1,
         )
         g_src = ops.gather(p_src)  # [E, dw + wout]
-        g_dst = ops.broadcast_dst(p_dst)
 
-        down = (
-            g_src[:, :dw]
-            + g_dst[:, :dw]
-            + _mm(ops.edge_v, kv_edge.astype(dt))
+        # dst contributions ride ops.dst_add: in the dense layout the node
+        # rows are added in [K, N, C] form inside the consumer fusion, so
+        # no [E, dw + wout] dst broadcast is ever materialized.  (Rounding:
+        # the add order becomes (src + edge) + dst instead of
+        # (src + dst) + edge — exact in f32, within the documented
+        # per-partial rounding in bf16.)
+        down = ops.dst_add(
+            g_src[:, :dw] + _mm(ops.edge_v, kv_edge.astype(dt)),
+            p_dst[:, :dw],
         )
         vh, p1 = down[:, : 3 * hidden], down[:, 3 * hidden :]
         vnorm = safe_vec_norm(vh)
@@ -688,12 +703,12 @@ class GCP2(nn.Module):
         prod = p1 * frp
         vp = jnp.concatenate([vnorm, prod], axis=-1)
 
-        out = (
+        out = ops.dst_add(
             g_src[:, dw:]
-            + g_dst[:, dw:]
             + _mm(ops.edge_s, ks_edge.astype(dt))
             + _mm(vp, ks_vp.astype(dt))
-            + big_b.astype(dt)
+            + big_b.astype(dt),
+            p_dst[:, dw:],
         )
         if fold_gate:
             s_new, gate = out[:, :s_out], out[:, s_out:]

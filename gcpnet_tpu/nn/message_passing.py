@@ -9,6 +9,7 @@ segment mean/sum.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -421,7 +422,30 @@ class GCPMessagePassing(nn.Module):
                 ).reshape(num_nodes * dense_degree, arr.shape[-1])
             return arr[receivers]
 
+        def add_dst(earr, narr):
+            # fused dst add: [K, N, C] broadcast form in the dense layout
+            # (reshapes are bitcasts under slot-major ordering), so the
+            # [E, C] dst map is computed inside the consumer fusion
+            # instead of materialized to HBM
+            if dense_degree is not None:
+                c = earr.shape[-1]
+                return (
+                    earr.reshape(dense_degree, num_nodes, c)
+                    + narr[None, :, :]
+                ).reshape(num_nodes * dense_degree, c)
+            return earr + narr[receivers]
+
         if split_first:
+            # GCPNET_FUSED_DST_ADD=1 computes the dst contribution in
+            # [K, N, C] broadcast form inside the consumer fusions (no
+            # materialized [E, C] dst map).  Parity-tested, but DEFAULT
+            # OFF: the first on-chip compile of the fused form ran past
+            # the 17-minute mark through the remote-compile tunnel
+            # (vs ~3-7 min for the default program) before it could be
+            # timed — an unacceptable compile-time regression for a
+            # ~5 ms/step bound on the prize (the 8 broadcast fusions it
+            # removes measured 5.4 ms total in the round-5 trace).
+            use_fused_dst = os.environ.get("GCPNET_FUSED_DST_ADD") == "1"
             message = MessageOperands(
                 node_s=node_rep.scalar,
                 node_v=node_rep.vector,
@@ -431,6 +455,7 @@ class GCPMessagePassing(nn.Module):
                 edge_dims=(e_s, e_v),
                 gather=gather_src,
                 broadcast_dst=map_dst,
+                add_dst=add_dst if use_fused_dst else None,
             )
         else:
             # message = [src node SV ‖ edge SV ‖ dst node SV]
