@@ -193,14 +193,10 @@ class MessageOperands:
     # fused (edge_arr [E, C], node_arr [N, C]) -> edge_arr + dst-map(node):
     # in the dense slot-major layout this adds node rows in [K, N, C] form
     # so the [E, C] dst broadcast is never MATERIALIZED (the round-5 trace
-    # showed 8 such [E, 170] broadcast fusions at ~111 GB/s); falls back
-    # to broadcast_dst + add when unset.
+    # showed 8 such [E, 170] broadcast fusions at ~111 GB/s); when unset
+    # (the default) the split call materializes one dst map via
+    # broadcast_dst — bit-identical HLO to the measured production program.
     add_dst: Optional[Callable[[Array, Array], Array]] = None
-
-    def dst_add(self, edge_arr: Array, node_arr: Array) -> Array:
-        if self.add_dst is not None:
-            return self.add_dst(edge_arr, node_arr)
-        return edge_arr + self.broadcast_dst(node_arr)
 
 
 def blockdiag3(w: Array) -> Array:
@@ -683,16 +679,26 @@ class GCP2(nn.Module):
         )
         g_src = ops.gather(p_src)  # [E, dw + wout]
 
-        # dst contributions ride ops.dst_add: in the dense layout the node
-        # rows are added in [K, N, C] form inside the consumer fusion, so
-        # no [E, dw + wout] dst broadcast is ever materialized.  (Rounding:
-        # the add order becomes (src + edge) + dst instead of
-        # (src + dst) + edge — exact in f32, within the documented
-        # per-partial rounding in bf16.)
-        down = ops.dst_add(
-            g_src[:, :dw] + _mm(ops.edge_v, kv_edge.astype(dt)),
-            p_dst[:, :dw],
-        )
+        if ops.add_dst is not None:
+            # dst contributions ride ops.add_dst: in the dense layout the
+            # node rows are added in [K, N, C] form inside the consumer
+            # fusion, so no [E, dw + wout] dst broadcast is ever
+            # materialized.  (Rounding: the add order becomes
+            # (src + edge) + dst instead of (src + dst) + edge — exact in
+            # f32, within the documented per-partial rounding in bf16.)
+            down = ops.add_dst(
+                g_src[:, :dw] + _mm(ops.edge_v, kv_edge.astype(dt)),
+                p_dst[:, :dw],
+            )
+        else:
+            # default path: one materialized dst map, original add order —
+            # bit-identical HLO to the measured 133.3 ms/step program
+            g_dst = ops.broadcast_dst(p_dst)
+            down = (
+                g_src[:, :dw]
+                + g_dst[:, :dw]
+                + _mm(ops.edge_v, kv_edge.astype(dt))
+            )
         vh, p1 = down[:, : 3 * hidden], down[:, 3 * hidden :]
         vnorm = safe_vec_norm(vh)
 
@@ -703,13 +709,22 @@ class GCP2(nn.Module):
         prod = p1 * frp
         vp = jnp.concatenate([vnorm, prod], axis=-1)
 
-        out = ops.dst_add(
-            g_src[:, dw:]
-            + _mm(ops.edge_s, ks_edge.astype(dt))
-            + _mm(vp, ks_vp.astype(dt))
-            + big_b.astype(dt),
-            p_dst[:, dw:],
-        )
+        if ops.add_dst is not None:
+            out = ops.add_dst(
+                g_src[:, dw:]
+                + _mm(ops.edge_s, ks_edge.astype(dt))
+                + _mm(vp, ks_vp.astype(dt))
+                + big_b.astype(dt),
+                p_dst[:, dw:],
+            )
+        else:
+            out = (
+                g_src[:, dw:]
+                + g_dst[:, dw:]
+                + _mm(ops.edge_s, ks_edge.astype(dt))
+                + _mm(vp, ks_vp.astype(dt))
+                + big_b.astype(dt)
+            )
         if fold_gate:
             s_new, gate = out[:, :s_out], out[:, s_out:]
         else:
